@@ -1,0 +1,214 @@
+"""Per-Gaussian preprocessing: projection, EWA 2D covariance, conics, culling.
+
+This is the JAX equivalent of the reference's ``preprocessCUDA`` kernel
+(forward.cu:222-351) — embarrassingly parallel per-Gaussian math that XLA
+vectorizes onto the VPU without a hand-written kernel.  Being pure JAX it is
+fully differentiable, which replaces the reference's hand-derived (and, in the
+checked-in fork, truncated — see SURVEY.md §2.2 N1g) preprocess backward
+(backward.cu:153-420) with autodiff.
+
+Semantics matched to the reference:
+- frustum cull at view z <= 0.2 (auxiliary.h:164-190),
+- perspective divide with +1e-7 on w (forward.cu: p_w),
+- EWA Jacobian with the 1.3*tan_fov clamp (forward.cu:95-106),
+- +0.3 pixel dilation of the 2D covariance and the antialiasing opacity
+  rescale sqrt(det/det_dilated) clamped at 2.5e-5 (forward.cu:286-303),
+- radius = ceil(3*sqrt(max eigenvalue)) with the 0.1 discriminant floor
+  (forward.cu:305-318),
+- NDC->pixel ((v+1)*S-1)/2 (auxiliary.h:43-46),
+- tile rect + tiles_touched count (auxiliary.h:49-59, forward.cu:320-350).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gaussian_splatting_tpu.ops.camera_math import CameraParams, ndc_to_pixel
+from gaussian_splatting_tpu.ops.sh import sh_to_color
+from gaussian_splatting_tpu.ops.transforms import apply_affine, apply_rot, build_covariance
+
+
+class ProjectedGaussians(NamedTuple):
+    """Screen-space Gaussians ready for binning + blending.
+
+    All arrays are length-P (the Gaussian axis); ``valid`` marks Gaussians
+    that survived culling — invalid rows have radius 0 / tiles 0 and never
+    enter the instance list.
+    """
+
+    means2d: jnp.ndarray  # (P, 2) pixel coordinates
+    depths: jnp.ndarray  # (P,) view-space z
+    conics: jnp.ndarray  # (P, 3) inverse 2D covariance [a, b, c]
+    opacities: jnp.ndarray  # (P,) after antialiasing rescale
+    colors: jnp.ndarray  # (P, 3) RGB from SH (clamped at 0)
+    radii: jnp.ndarray  # (P,) int32 pixel radius (0 = culled)
+    rect_min: jnp.ndarray  # (P, 2) int32 tile coords (x, y)
+    rect_max: jnp.ndarray  # (P, 2) int32 exclusive tile coords (x, y)
+    tiles_touched: jnp.ndarray  # (P,) int32
+    valid: jnp.ndarray  # (P,) bool
+
+
+def compute_cov2d(
+    means3d: jnp.ndarray,
+    cov3d: jnp.ndarray,
+    cam: CameraParams,
+) -> jnp.ndarray:
+    """EWA projection of 3D covariance to 2D (forward.cu:89-141).
+
+    Returns (P, 3) packed [cov_xx, cov_xy, cov_yy] BEFORE dilation.
+    """
+    W = cam.viewmatrix[:3, :3]
+    t = apply_affine(cam.viewmatrix, means3d)
+    # Rows culled by the z>0.2 frustum test never use this result; clamp z so
+    # their garbage stays finite (no NaN leaking through autodiff).
+    tz = jnp.maximum(t[:, 2], 0.2)
+    limx = 1.3 * cam.tan_fovx
+    limy = 1.3 * cam.tan_fovy
+    tx = jnp.clip(t[:, 0] / tz, -limx, limx) * tz
+    ty = jnp.clip(t[:, 1] / tz, -limy, limy) * tz
+
+    fx, fy = cam.focal_x, cam.focal_y
+    inv_z = 1.0 / tz
+    inv_z2 = inv_z * inv_z
+    # J is the 2x3 Jacobian of the perspective projection at the (clamped)
+    # view-space point; rows [fx/z, 0, -fx*x/z^2], [0, fy/z, -fy*y/z^2].
+    j00 = fx * inv_z
+    j02 = -fx * tx * inv_z2
+    j11 = fy * inv_z
+    j12 = -fy * ty * inv_z2
+
+    # M = J @ W: (P, 2, 3)
+    M0 = j00[:, None] * W[0] + j02[:, None] * W[2]
+    M1 = j11[:, None] * W[1] + j12[:, None] * W[2]
+
+    # cov2d = M Sigma M^T with Sigma the full symmetric 3x3 from packed cov3d.
+    xx, xy, xz, yy, yz, zz = (cov3d[:, i] for i in range(6))
+
+    def quad(a, b):
+        # a^T Sigma b for row vectors a,b of shape (P, 3)
+        sa0 = a[:, 0] * xx + a[:, 1] * xy + a[:, 2] * xz
+        sa1 = a[:, 0] * xy + a[:, 1] * yy + a[:, 2] * yz
+        sa2 = a[:, 0] * xz + a[:, 1] * yz + a[:, 2] * zz
+        return sa0 * b[:, 0] + sa1 * b[:, 1] + sa2 * b[:, 2]
+
+    c_xx = quad(M0, M0)
+    c_xy = quad(M0, M1)
+    c_yy = quad(M1, M1)
+    return jnp.stack([c_xx, c_xy, c_yy], axis=-1)
+
+
+def preprocess(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    opacities: jnp.ndarray,
+    sh: jnp.ndarray,
+    cam: CameraParams,
+    *,
+    sh_degree: int,
+    tile_w: int = 16,
+    tile_h: int = 16,
+    scale_modifier: float = 1.0,
+    antialiasing: bool = False,
+    cov3d_precomp: Optional[jnp.ndarray] = None,
+    colors_precomp: Optional[jnp.ndarray] = None,
+) -> ProjectedGaussians:
+    """Project P Gaussians to screen space (reference preprocessCUDA).
+
+    ``quats`` must be normalized; ``opacities`` are post-sigmoid; ``sh`` is
+    (P, K, 3).  Width/height/tile sizes are static.
+    """
+    P = means3d.shape[0]
+    W, H = cam.width, cam.height
+    grid_x = (W + tile_w - 1) // tile_w
+    grid_y = (H + tile_h - 1) // tile_h
+
+    # --- frustum cull (auxiliary.h:164-190) ---
+    p_view = apply_affine(cam.viewmatrix, means3d)
+    depth = p_view[:, 2]
+    in_front = depth > 0.2
+
+    # --- projection (forward.cu: transformPoint4x4 + perspective divide) ---
+    p_hom = apply_affine(cam.projmatrix, means3d)
+    w_hom = (
+        means3d[:, 0] * cam.projmatrix[3, 0]
+        + means3d[:, 1] * cam.projmatrix[3, 1]
+        + means3d[:, 2] * cam.projmatrix[3, 2]
+        + cam.projmatrix[3, 3]
+    )
+    # Culled rows are masked out below; guard w so no inf/NaN leaks into
+    # autodiff (for surviving rows w_hom == view z > 0.2, so this is exact).
+    w_hom = jnp.where(in_front, w_hom, 1.0)
+    p_w = 1.0 / (w_hom + 1e-7)
+    ndc_xy = p_hom[:, :2] * p_w[:, None]
+    mean2d = jnp.stack(
+        [ndc_to_pixel(ndc_xy[:, 0], W), ndc_to_pixel(ndc_xy[:, 1], H)], axis=-1
+    )
+
+    # --- covariances ---
+    if cov3d_precomp is not None:
+        cov3d = cov3d_precomp
+    else:
+        cov3d = build_covariance(scales, quats, scale_modifier)
+    cov2d = compute_cov2d(means3d, cov3d, cam)
+
+    # --- dilation + antialiasing rescale (forward.cu:286-303) ---
+    h_var = 0.3
+    det_orig = cov2d[:, 0] * cov2d[:, 2] - cov2d[:, 1] * cov2d[:, 1]
+    cxx = cov2d[:, 0] + h_var
+    cyy = cov2d[:, 2] + h_var
+    cxy = cov2d[:, 1]
+    det = cxx * cyy - cxy * cxy
+    if antialiasing:
+        aa_scale = jnp.sqrt(jnp.maximum(0.000025, det_orig / det))
+    else:
+        aa_scale = jnp.ones_like(det)
+
+    det_ok = det != 0.0
+    safe_det = jnp.where(det_ok, det, 1.0)
+    det_inv = 1.0 / safe_det
+    conic = jnp.stack([cyy * det_inv, -cxy * det_inv, cxx * det_inv], axis=-1)
+
+    # --- radius from eigenvalues (forward.cu:305-318) ---
+    mid = 0.5 * (cxx + cyy)
+    lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(lam1))
+
+    # --- tile rect (auxiliary.h:49-59); truncation-toward-zero == reference ---
+    rx_min = jnp.clip(((mean2d[:, 0] - radius_f) / tile_w).astype(jnp.int32), 0, grid_x)
+    ry_min = jnp.clip(((mean2d[:, 1] - radius_f) / tile_h).astype(jnp.int32), 0, grid_y)
+    rx_max = jnp.clip(
+        ((mean2d[:, 0] + radius_f + tile_w - 1) / tile_w).astype(jnp.int32), 0, grid_x
+    )
+    ry_max = jnp.clip(
+        ((mean2d[:, 1] + radius_f + tile_h - 1) / tile_h).astype(jnp.int32), 0, grid_y
+    )
+    tiles = (rx_max - rx_min) * (ry_max - ry_min)
+
+    valid = in_front & det_ok & (tiles > 0)
+    tiles = jnp.where(valid, tiles, 0)
+    radius = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
+
+    # --- color ---
+    if colors_precomp is not None:
+        colors = colors_precomp
+    else:
+        colors = sh_to_color(sh_degree, sh, means3d, cam.campos)
+
+    opac = opacities * aa_scale
+
+    return ProjectedGaussians(
+        means2d=mean2d,
+        depths=depth,
+        conics=conic,
+        opacities=opac,
+        colors=colors,
+        radii=radius,
+        rect_min=jnp.stack([rx_min, ry_min], axis=-1),
+        rect_max=jnp.stack([rx_max, ry_max], axis=-1),
+        tiles_touched=tiles,
+        valid=valid,
+    )

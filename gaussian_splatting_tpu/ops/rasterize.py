@@ -1,0 +1,250 @@
+"""Differentiable rasterization: the public render op.
+
+Pipeline (reference call stack: gaussian_renderer/__init__.py:19-157 ->
+rasterize_points.cu -> rasterizer_impl.cu::forward):
+
+  preprocess (pure JAX, autodiff)          forward.cu:222-351
+  binning    (non-diff bookkeeping)        rasterizer_impl.cu:309-350
+  gather     (instance records, autodiff)  duplicateWithKeys analogue
+  blend      (Pallas custom_vjp | oracle)  forward.cu:367-513 / backward.cu
+
+Only the blend is a hand-written kernel; every other gradient (projection,
+EWA covariance chain, SH, antialiasing opacity rescale, inverse-depth) comes
+from autodiff — which also sidesteps the reference fork's truncated
+cov2D backward (SURVEY.md §2.2 N1g).
+
+The densification "screen-space gradient tap" mirrors the reference's
+``screenspace_points`` trick (gaussian_renderer/__init__.py:42-46): pass a
+zeros (P, 2) array as ``means2d_tap`` and read its gradient — it is scaled by
+(0.5*W, 0.5*H), i.e. NDC units, matching backward.cu:509-510 so the
+``densify_grad_threshold`` keeps its reference meaning.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussian_splatting_tpu.config import RasterizeConfig
+from gaussian_splatting_tpu.ops import blend_pallas as bp
+from gaussian_splatting_tpu.ops.binning import BinnedInstances, bin_gaussians
+from gaussian_splatting_tpu.ops.camera_math import CameraParams
+from gaussian_splatting_tpu.ops.oracle import render_dense
+from gaussian_splatting_tpu.ops.preprocess import ProjectedGaussians, preprocess
+
+
+class RenderResult(NamedTuple):
+    image: jnp.ndarray  # (3, H, W) with background composited
+    invdepth: jnp.ndarray  # (H, W)
+    final_T: jnp.ndarray  # (H, W)
+    radii: jnp.ndarray  # (P,) int32
+    visibility: jnp.ndarray  # (P,) bool
+    overflow: jnp.ndarray  # () bool — instance buffer overflowed
+    num_instances: jnp.ndarray  # () int32
+
+
+def _float0_zeros(x):
+    return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+@functools.lru_cache(maxsize=64)
+def _make_blend_core(grid_x, grid_y, tile_w, tile_h, chunk, interpret):
+    """custom_vjp-wrapped Pallas blend for a fixed tile geometry."""
+
+    kw = dict(
+        grid_x=grid_x,
+        grid_y=grid_y,
+        tile_w=tile_w,
+        tile_h=tile_h,
+        chunk=chunk,
+        interpret=interpret,
+    )
+
+    @jax.custom_vjp
+    def core(meta, starts, ends, num_instances):
+        del num_instances
+        return bp.blend_forward_pallas(meta, starts, ends, **kw)
+
+    def core_fwd(meta, starts, ends, num_instances):
+        packed = bp.blend_forward_pallas(meta, starts, ends, **kw)
+        return packed, (meta, starts, ends, num_instances, packed)
+
+    def core_bwd(res, ct):
+        meta, starts, ends, num_instances, packed = res
+        # Reorder the packed-output cotangents into the kernel's CT layout;
+        # the T-column cotangent carries the background-compositing term
+        # (and any direct use of final_T by the loss).
+        zeros = jnp.zeros_like(ct[..., 0])
+        ct_packed = jnp.stack(
+            [
+                ct[..., bp.O_R],
+                ct[..., bp.O_G],
+                ct[..., bp.O_B],
+                ct[..., bp.O_INVD],
+                ct[..., bp.O_T],
+                zeros,
+                zeros,
+                zeros,
+            ],
+            axis=-1,
+        )
+        dmeta = bp.blend_backward_pallas(meta, starts, ends, packed, ct_packed, **kw)
+        # Sort-padding slots are never written by any tile program; zero them
+        # before the gather-VJP scatter-adds instance grads onto Gaussians.
+        slot = jnp.arange(meta.shape[1], dtype=jnp.int32)
+        dmeta = jnp.where(slot[None, :] < num_instances, dmeta, 0.0)
+        return (
+            dmeta,
+            _float0_zeros(starts),
+            _float0_zeros(ends),
+            _float0_zeros(num_instances),
+        )
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
+
+
+def _build_meta(proj: ProjectedGaussians, binned: BinnedInstances, chunk: int) -> jnp.ndarray:
+    """Gather sorted instance records into the field-major (16, cap+chunk) array.
+
+    Differentiable: its VJP is a deterministic XLA scatter-add reducing
+    per-instance gradients onto Gaussians (replaces backward.cu's atomicAdd).
+    """
+    ids = binned.gaussian_ids
+    xy = proj.means2d[ids]
+    con = proj.conics[ids]
+    op = proj.opacities[ids]
+    rgb = proj.colors[ids]
+    safe_depth = jnp.where(proj.valid, proj.depths, 1.0)
+    invd = (1.0 / safe_depth)[ids]
+    zeros = jnp.zeros_like(op)
+    meta = jnp.stack(
+        [
+            xy[:, 0],
+            xy[:, 1],
+            con[:, 0],
+            con[:, 1],
+            con[:, 2],
+            op,
+            rgb[:, 0],
+            rgb[:, 1],
+            rgb[:, 2],
+            invd,
+            zeros,
+            zeros,
+            zeros,
+            zeros,
+            zeros,
+            zeros,
+        ],
+        axis=0,
+    )
+    # Tail padding so the last chunk's DMA stays in-bounds.
+    return jnp.pad(meta, ((0, 0), (0, chunk)))
+
+
+def _untile(packed: jnp.ndarray, grid_x: int, grid_y: int, tile_w: int, tile_h: int, W: int, H: int):
+    """(num_tiles, PIX, OUT_COLS) -> per-pixel images cropped to (H, W)."""
+    cols = packed.shape[-1]
+    img = packed.reshape(grid_y, grid_x, tile_h, tile_w, cols)
+    img = img.transpose(4, 0, 2, 1, 3).reshape(cols, grid_y * tile_h, grid_x * tile_w)
+    return img[:, :H, :W]
+
+
+def render(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    opacities: jnp.ndarray,
+    sh: jnp.ndarray,
+    cam: CameraParams,
+    bg_color: jnp.ndarray,
+    *,
+    sh_degree: int,
+    cfg: RasterizeConfig = RasterizeConfig(),
+    means2d_tap: Optional[jnp.ndarray] = None,
+    capacity: Optional[int] = None,
+    scale_modifier: float = 1.0,
+    impl: Optional[str] = None,
+) -> RenderResult:
+    """Render P Gaussians to an image (reference ``render()``,
+    gaussian_renderer/__init__.py:19-157, minus exposure — applied by callers).
+    """
+    P = means3d.shape[0]
+    W, H = cam.width, cam.height
+    tile_w, tile_h = cfg.tile_w, cfg.tile_h
+    grid_x = (W + tile_w - 1) // tile_w
+    grid_y = (H + tile_h - 1) // tile_h
+
+    impl = impl or cfg.impl
+    if impl == "auto":
+        impl = "pallas"
+
+    proj = preprocess(
+        means3d,
+        scales,
+        quats,
+        opacities,
+        sh,
+        cam,
+        sh_degree=sh_degree,
+        tile_w=tile_w,
+        tile_h=tile_h,
+        scale_modifier=scale_modifier,
+        antialiasing=cfg.antialiasing,
+    )
+    if means2d_tap is not None:
+        # NDC-scaled gradient tap (see module docstring).
+        ndc_scale = jnp.array([0.5 * W, 0.5 * H], jnp.float32)
+        proj = proj._replace(means2d=proj.means2d + means2d_tap * ndc_scale)
+
+    if impl == "dense":
+        out = render_dense(proj, cam, bg_color, tile_w=tile_w, tile_h=tile_h)
+        return RenderResult(
+            image=jnp.clip(out.color, 0.0, 1.0),
+            invdepth=out.invdepth,
+            final_T=out.final_T,
+            radii=proj.radii,
+            visibility=proj.radii > 0,
+            overflow=jnp.asarray(False),
+            num_instances=jnp.sum(proj.tiles_touched),
+        )
+
+    if impl != "pallas":
+        raise ValueError(f"unknown rasterizer impl: {impl}")
+
+    if capacity is None:
+        capacity = int(cfg.instance_slack * P) + 1024
+    capacity = -(-capacity // cfg.chunk) * cfg.chunk  # round up to chunk
+
+    binned = bin_gaussians(
+        jax.tree_util.tree_map(jax.lax.stop_gradient, proj),
+        grid_x=grid_x,
+        grid_y=grid_y,
+        capacity=capacity,
+    )
+    meta = _build_meta(proj, binned, cfg.chunk)
+
+    interpret = jax.default_backend() != "tpu"
+    core = _make_blend_core(grid_x, grid_y, tile_w, tile_h, cfg.chunk, interpret)
+    packed = core(meta, binned.tile_starts, binned.tile_ends, binned.num_instances)
+
+    img = _untile(packed, grid_x, grid_y, tile_w, tile_h, W, H)
+    c_nobg = img[bp.O_R : bp.O_B + 1]
+    T_img = img[bp.O_T]
+    invd = img[bp.O_INVD]
+    color = c_nobg + T_img[None] * bg_color[:, None, None]
+
+    return RenderResult(
+        image=jnp.clip(color, 0.0, 1.0),
+        invdepth=invd,
+        final_T=T_img,
+        radii=proj.radii,
+        visibility=proj.radii > 0,
+        overflow=binned.overflow,
+        num_instances=binned.num_instances,
+    )

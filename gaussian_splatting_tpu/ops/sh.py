@@ -1,0 +1,133 @@
+"""Real spherical-harmonics evaluation for view-dependent Gaussian color.
+
+Implements the standard hardcoded real SH basis (degrees 0-4) used by the
+3DGS ecosystem.  Numerics match the reference's ``utils/sh_utils.py:57-112``
+and the CUDA ``computeColorFromSH`` (``forward.cu:22-80``): colors are stored
+as SH coefficients per channel, evaluated along the normalized
+camera-to-Gaussian direction, offset by +0.5 and clamped at zero.  The clamp
+is expressed with ``jnp.maximum`` so autodiff reproduces the reference's
+saved ``clamped`` flags in the backward pass (``backward.cu:12-146``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+SH_C0 = 0.28209479177387814
+SH_C1 = 0.4886025119029199
+SH_C2 = (
+    1.0925484305920792,
+    -1.0925484305920792,
+    0.31539156525252005,
+    -1.0925484305920792,
+    0.5462742152960396,
+)
+SH_C3 = (
+    -0.5900435899266435,
+    2.890611442640554,
+    -0.4570457994644658,
+    0.3731763325901154,
+    -0.4570457994644658,
+    1.445305721320277,
+    -0.5900435899266435,
+)
+SH_C4 = (
+    2.5033429417967046,
+    -1.7701307697799304,
+    0.9461746957575601,
+    -0.6690465435572892,
+    0.10578554691520431,
+    -0.6690465435572892,
+    0.47308734787878004,
+    -1.7701307697799304,
+    0.6258357354491761,
+)
+
+
+def num_sh_coeffs(degree: int) -> int:
+    return (degree + 1) ** 2
+
+
+def eval_sh(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate SH at unit directions.
+
+    Args:
+      deg: SH degree in [0, 4] (static).
+      sh: ``[..., K, C]`` coefficients with ``K >= (deg+1)**2``.
+      dirs: ``[..., 3]`` unit directions.
+
+    Returns:
+      ``[..., C]`` evaluated values (no offset/clamp).
+    """
+    assert 0 <= deg <= 4
+    result = SH_C0 * sh[..., 0, :]
+    if deg > 0:
+        x = dirs[..., 0:1]
+        y = dirs[..., 1:2]
+        z = dirs[..., 2:3]
+        result = (
+            result
+            - SH_C1 * y * sh[..., 1, :]
+            + SH_C1 * z * sh[..., 2, :]
+            - SH_C1 * x * sh[..., 3, :]
+        )
+        if deg > 1:
+            xx, yy, zz = x * x, y * y, z * z
+            xy, yz, xz = x * y, y * z, x * z
+            result = (
+                result
+                + SH_C2[0] * xy * sh[..., 4, :]
+                + SH_C2[1] * yz * sh[..., 5, :]
+                + SH_C2[2] * (2.0 * zz - xx - yy) * sh[..., 6, :]
+                + SH_C2[3] * xz * sh[..., 7, :]
+                + SH_C2[4] * (xx - yy) * sh[..., 8, :]
+            )
+            if deg > 2:
+                result = (
+                    result
+                    + SH_C3[0] * y * (3.0 * xx - yy) * sh[..., 9, :]
+                    + SH_C3[1] * xy * z * sh[..., 10, :]
+                    + SH_C3[2] * y * (4.0 * zz - xx - yy) * sh[..., 11, :]
+                    + SH_C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy) * sh[..., 12, :]
+                    + SH_C3[4] * x * (4.0 * zz - xx - yy) * sh[..., 13, :]
+                    + SH_C3[5] * z * (xx - yy) * sh[..., 14, :]
+                    + SH_C3[6] * x * (xx - 3.0 * yy) * sh[..., 15, :]
+                )
+                if deg > 3:
+                    result = (
+                        result
+                        + SH_C4[0] * xy * (xx - yy) * sh[..., 16, :]
+                        + SH_C4[1] * yz * (3.0 * xx - yy) * sh[..., 17, :]
+                        + SH_C4[2] * xy * (7.0 * zz - 1.0) * sh[..., 18, :]
+                        + SH_C4[3] * yz * (7.0 * zz - 3.0) * sh[..., 19, :]
+                        + SH_C4[4] * (zz * (35.0 * zz - 30.0) + 3.0) * sh[..., 20, :]
+                        + SH_C4[5] * xz * (7.0 * zz - 3.0) * sh[..., 21, :]
+                        + SH_C4[6] * (xx - yy) * (7.0 * zz - 1.0) * sh[..., 22, :]
+                        + SH_C4[7] * xz * (xx - 3.0 * yy) * sh[..., 23, :]
+                        + SH_C4[8]
+                        * (xx * (xx - 3.0 * yy) - yy * (3.0 * xx - yy))
+                        * sh[..., 24, :]
+                    )
+    return result
+
+
+def sh_to_color(deg: int, sh: jnp.ndarray, means3d: jnp.ndarray, campos: jnp.ndarray) -> jnp.ndarray:
+    """SH -> clamped RGB along the camera->Gaussian direction.
+
+    Mirrors ``computeColorFromSH`` (forward.cu:22-80): normalize the direction,
+    evaluate SH, add 0.5, clamp at 0.
+    """
+    d = means3d - campos
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    rgb = eval_sh(deg, sh, d) + 0.5
+    return jnp.maximum(rgb, 0.0)
+
+
+def rgb_to_sh(rgb: jnp.ndarray) -> jnp.ndarray:
+    """RGB in [0,1] -> DC SH coefficient (reference ``RGB2SH``, sh_utils.py:114)."""
+    return (rgb - 0.5) / SH_C0
+
+
+def sh_to_rgb(sh: jnp.ndarray) -> jnp.ndarray:
+    """DC SH coefficient -> RGB (reference ``SH2RGB``, sh_utils.py:117)."""
+    return sh * SH_C0 + 0.5

@@ -1,0 +1,152 @@
+"""Oracle-vs-Pallas parity: forward images and parameter gradients.
+
+This is BASELINE.json config 1: synthetic random Gaussians, forward +
+pixel-gradient allclose between the dense autodiff oracle and the Pallas
+kernels (run in interpreter mode on CPU).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussian_splatting_tpu.config import RasterizeConfig
+from gaussian_splatting_tpu.ops.rasterize import render
+from gaussian_splatting_tpu.utils.testing import random_scene
+
+
+def _render_fn(scene, impl, sh_degree=0, **kw):
+    cfg = RasterizeConfig(**kw)
+
+    def fn(means3d, scales, quats, opac, sh):
+        out = render(
+            means3d,
+            scales,
+            quats,
+            opac,
+            sh,
+            scene.cam,
+            scene.bg,
+            sh_degree=sh_degree,
+            cfg=cfg,
+            impl=impl,
+        )
+        return out
+
+    return fn
+
+
+@pytest.mark.parametrize("sh_degree", [0, 2])
+def test_forward_parity(sh_degree):
+    scene = random_scene(300, sh_degree=sh_degree, width=64, height=48, seed=1)
+    args = (scene.means3d, scene.scales, scene.quats, scene.opacities, scene.sh)
+    dense = _render_fn(scene, "dense", sh_degree)(*args)
+    fast = _render_fn(scene, "pallas", sh_degree)(*args)
+    assert not bool(fast.overflow)
+    np.testing.assert_allclose(
+        np.asarray(fast.image), np.asarray(dense.image), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast.invdepth), np.asarray(dense.invdepth), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast.final_T), np.asarray(dense.final_T), atol=2e-5
+    )
+    # image actually has content
+    assert float(jnp.abs(dense.image).sum()) > 1.0
+
+
+def test_background_compositing():
+    scene = random_scene(50, width=32, height=32, seed=3, bg=(0.1, 0.7, 0.3))
+    args = (scene.means3d, scene.scales, scene.quats, scene.opacities, scene.sh)
+    dense = _render_fn(scene, "dense")(*args)
+    fast = _render_fn(scene, "pallas")(*args)
+    np.testing.assert_allclose(np.asarray(fast.image), np.asarray(dense.image), atol=2e-5)
+    # background shows through where nothing was drawn
+    empty = np.asarray(dense.final_T) > 0.999
+    assert empty.any()
+    bg = np.broadcast_to(np.asarray(scene.bg)[:, None], (3, int(empty.sum())))
+    np.testing.assert_allclose(np.asarray(dense.image)[:, empty], bg, atol=1e-5)
+
+
+@pytest.mark.parametrize("sh_degree", [0, 1])
+def test_gradient_parity(sh_degree):
+    scene = random_scene(200, sh_degree=sh_degree, width=48, height=32, seed=2)
+    args = (scene.means3d, scene.scales, scene.quats, scene.opacities, scene.sh)
+    # random fixed loss weights so every pixel contributes differently
+    key = jax.random.PRNGKey(0)
+    wimg = jax.random.normal(key, (3, 32, 48))
+    winvd = jax.random.normal(key, (32, 48)) * 0.1
+
+    def loss(impl):
+        fn = _render_fn(scene, impl, sh_degree)
+
+        def f(*a):
+            out = fn(*a)
+            return jnp.sum(out.image * wimg) + jnp.sum(out.invdepth * winvd)
+
+        return f
+
+    g_dense = jax.grad(loss("dense"), argnums=(0, 1, 2, 3, 4))(*args)
+    g_fast = jax.grad(loss("pallas"), argnums=(0, 1, 2, 3, 4))(*args)
+    names = ["means3d", "scales", "quats", "opacities", "sh"]
+    for name, gd, gf in zip(names, g_dense, g_fast):
+        gd, gf = np.asarray(gd), np.asarray(gf)
+        scale = np.abs(gd).max() + 1e-8
+        np.testing.assert_allclose(
+            gf / scale, gd / scale, atol=5e-5, err_msg=f"grad mismatch: {name}"
+        )
+
+
+def test_means2d_tap_gradient():
+    scene = random_scene(100, width=32, height=32, seed=4)
+    tap = jnp.zeros((100, 2))
+
+    def loss(tap, impl):
+        out = render(
+            scene.means3d,
+            scene.scales,
+            scene.quats,
+            scene.opacities,
+            scene.sh,
+            scene.cam,
+            scene.bg,
+            sh_degree=0,
+            impl=impl,
+            means2d_tap=tap,
+        )
+        return jnp.sum(out.image**2)
+
+    g_dense = jax.grad(lambda t: loss(t, "dense"))(tap)
+    g_fast = jax.grad(lambda t: loss(t, "pallas"))(tap)
+    assert float(jnp.abs(g_dense).sum()) > 0
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_dense), atol=1e-4)
+
+
+def test_non_tile_aligned_resolution():
+    # W, H not multiples of 16 exercise the padding/crop path
+    scene = random_scene(150, width=50, height=35, seed=5)
+    args = (scene.means3d, scene.scales, scene.quats, scene.opacities, scene.sh)
+    dense = _render_fn(scene, "dense")(*args)
+    fast = _render_fn(scene, "pallas")(*args)
+    assert fast.image.shape == (3, 35, 50)
+    np.testing.assert_allclose(np.asarray(fast.image), np.asarray(dense.image), atol=2e-5)
+
+
+def test_overflow_flag():
+    scene = random_scene(500, width=64, height=64, seed=6)
+    cfg = RasterizeConfig()
+    out = render(
+        scene.means3d,
+        scene.scales,
+        scene.quats,
+        scene.opacities,
+        scene.sh,
+        scene.cam,
+        scene.bg,
+        sh_degree=0,
+        cfg=cfg,
+        impl="pallas",
+        capacity=256,
+    )
+    assert bool(out.overflow)
