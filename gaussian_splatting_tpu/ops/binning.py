@@ -32,16 +32,24 @@ from gaussian_splatting_tpu.ops.preprocess import ProjectedGaussians
 class BinnedInstances(NamedTuple):
     """Sorted (tile, depth) instance list + per-tile ranges.
 
-    ``gaussian_ids``/``tiles`` have static length ``capacity``; slots past
-    ``num_instances`` are padding with ``tiles == num_tiles`` (sorted last).
+    The instance list is laid out *chunk-aligned*: every tile's range starts
+    at a multiple of ``chunk`` (slots between a tile's true end and its
+    aligned end hold ``gaussian_ids == -1``).  This guarantees the Pallas
+    kernels' DMA slices are 128-lane aligned — a Mosaic requirement — and
+    makes every instance DMA a full aligned block.
     """
 
-    gaussian_ids: jnp.ndarray  # (capacity,) int32, sorted by (tile, depth)
-    tiles: jnp.ndarray  # (capacity,) int32 tile id per sorted instance
-    tile_starts: jnp.ndarray  # (num_tiles,) int32
-    tile_ends: jnp.ndarray  # (num_tiles,) int32
-    num_instances: jnp.ndarray  # () int32 actual instance count
+    gaussian_ids: jnp.ndarray  # (aligned_capacity,) int32, -1 = padding
+    tile_starts: jnp.ndarray  # (num_tiles,) int32, multiples of chunk
+    tile_ends: jnp.ndarray  # (num_tiles,) int32 — start + true count
+    num_instances: jnp.ndarray  # () int32 actual (unaligned) instance count
+    total_aligned: jnp.ndarray  # () int32 — end of the written region
     overflow: jnp.ndarray  # () bool — capacity exceeded, results truncated
+
+
+def aligned_capacity(capacity: int, grid_x: int, grid_y: int, chunk: int) -> int:
+    """Static instance-buffer size for chunk-aligned layout."""
+    return capacity + grid_x * grid_y * chunk
 
 
 def bin_gaussians(
@@ -50,6 +58,7 @@ def bin_gaussians(
     grid_x: int,
     grid_y: int,
     capacity: int,
+    chunk: int = 128,
 ) -> BinnedInstances:
     """Expand Gaussians to per-tile instances and sort by (tile, depth)."""
     num_tiles = grid_x * grid_y
@@ -85,14 +94,32 @@ def bin_gaussians(
     )
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    tile_starts = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(jnp.int32)
-    tile_ends = jnp.searchsorted(sorted_tile, tile_ids, side="right").astype(jnp.int32)
+    starts = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_tile, tile_ids, side="right").astype(jnp.int32)
+    counts = ends - starts
+
+    # --- chunk-aligned relayout (see class docstring) ---
+    cap_aligned = aligned_capacity(capacity, grid_x, grid_y, chunk)
+    aligned_counts = ((counts + chunk - 1) // chunk) * chunk
+    aligned_starts = (jnp.cumsum(aligned_counts) - aligned_counts).astype(jnp.int32)
+    total_aligned = (
+        (aligned_starts[-1] + aligned_counts[-1]).astype(jnp.int32)
+        if num_tiles
+        else jnp.int32(0)
+    )
+
+    slot_tile = jnp.clip(sorted_tile, 0, num_tiles - 1)
+    rank = slots - starts[slot_tile]
+    pos = aligned_starts[slot_tile] + rank
+    pos = jnp.where(sorted_tile < num_tiles, pos, cap_aligned)  # drop padding
+    ids_aligned = jnp.full((cap_aligned,), -1, jnp.int32)
+    ids_aligned = ids_aligned.at[pos].set(sorted_g, mode="drop")
 
     return BinnedInstances(
-        gaussian_ids=sorted_g,
-        tiles=sorted_tile,
-        tile_starts=tile_starts,
-        tile_ends=tile_ends,
+        gaussian_ids=ids_aligned,
+        tile_starts=aligned_starts,
+        tile_ends=aligned_starts + counts,
         num_instances=jnp.minimum(total, capacity).astype(jnp.int32),
+        total_aligned=total_aligned,
         overflow=overflow,
     )

@@ -8,12 +8,17 @@ TPU-native redesign of the reference's ``renderCUDA`` forward
   a vmapped max-padded loop).
 - Instances are consumed 128 at a time (the lane dimension) from a
   field-major (NUM_FIELDS, capacity) record array in HBM, double-buffered
-  into VMEM with explicit async copies.
+  into VMEM with explicit async copies.  The binning stage lays instances out
+  *chunk-aligned* per tile so every DMA offset is provably 128-aligned.
 - The per-pixel sequential front-to-back compositing is vectorized across a
   (256 pixels, 128 instances) block: transmittance uses an exclusive prefix
   product (Hillis-Steele, log2(chunk) shift-multiply steps along lanes), and
   the per-pixel early-stop (``test_T < 1e-4`` -> done, forward.cu:477-482)
-  becomes a cumulative-max suppression mask.
+  becomes a cumulative-or suppression mask.
+- Per-pixel accumulator state (T, RGB, inverse depth, contributor count,
+  done) lives in the VMEM output block / a VMEM scratch, NOT in loop
+  carries: (pix, 1) vector carries cost 32 vregs each and trip Mosaic layout
+  legalization in ``scf.yield``.
 - The backward is a *forward replay*: instead of the reference's
   back-to-front traversal with trailing ``accum_rec`` sums and per-Gaussian
   atomicAdd, we use suffix = total - prefix (totals come from the saved
@@ -47,12 +52,17 @@ F_X, F_Y, F_CA, F_CB, F_CC, F_OP, F_R, F_G, F_B, F_INVD = range(10)
 NUM_FIELDS = 16  # padded for alignment
 
 # Packed forward output columns: (num_tiles, PIX, OUT_COLS)
-O_R, O_G, O_B, O_T, O_INVD, O_NCONTRIB = range(6)
+# column 6 doubles as the per-pixel done flag while the kernel is running.
+O_R, O_G, O_B, O_T, O_INVD, O_NCONTRIB, O_DONE = range(7)
 OUT_COLS = 8
 
 # Packed cotangent columns: (num_tiles, PIX, CT_COLS)
 CT_R, CT_G, CT_B, CT_INVD, CT_BGDOT = range(5)
 CT_COLS = 8
+
+# Backward replay state columns (VMEM scratch)
+S_T, S_BR, S_BG, S_BB, S_BI = range(5)
+STATE_COLS = 8
 
 
 def _shift_lanes(x: jnp.ndarray, s: int, fill: float) -> jnp.ndarray:
@@ -81,6 +91,24 @@ def _inclusive_cumsum(x: jnp.ndarray) -> jnp.ndarray:
         out = out + _shift_lanes(out, s, 0.0)
         s *= 2
     return out
+
+
+def _last_lane(x: jnp.ndarray) -> jnp.ndarray:
+    """x[..., -1:] via a masked reduction (canonical Mosaic layout)."""
+    n = x.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    return jnp.sum(jnp.where(lane == n - 1, x, 0.0), axis=-1, keepdims=True)
+
+
+def _row_prod(x: jnp.ndarray) -> jnp.ndarray:
+    """Product along lanes, keepdims — Mosaic has no reduce_prod primitive."""
+    n = x.shape[-1]
+    out = x
+    s = 1
+    while s < n:
+        out = out * _shift_lanes(out, s, 1.0)
+        s *= 2
+    return _last_lane(out)
 
 
 def _suppressed(bad: jnp.ndarray) -> jnp.ndarray:
@@ -134,6 +162,11 @@ def _chunk_alpha(meta, px, py, n_in_chunk, chunk):
     return alpha_eff, eligible, not_capped, G, dx, dy
 
 
+def _col(state: jnp.ndarray, i: int) -> jnp.ndarray:
+    """Column i of a (pix, COLS) state block as (pix, 1)."""
+    return state[:, i : i + 1]
+
+
 # --------------------------------------------------------------------------
 # Forward
 # --------------------------------------------------------------------------
@@ -141,8 +174,8 @@ def _chunk_alpha(meta, px, py, n_in_chunk, chunk):
 
 def _forward_kernel(
     ranges_ref,  # (num_tiles, 2) int32, scalar-prefetched into SMEM
-    meta_hbm,  # (NUM_FIELDS, cap_padded) ANY/HBM
-    out_ref,  # (1, PIX, OUT_COLS) VMEM
+    meta_hbm,  # (NUM_FIELDS, cap_padded) HBM
+    out_ref,  # (1, PIX, OUT_COLS) VMEM — doubles as accumulator state
     meta_vmem,  # (2, NUM_FIELDS, chunk) VMEM scratch
     sems,  # (2,) DMA semaphores
     *,
@@ -153,11 +186,17 @@ def _forward_kernel(
 ):
     pix = tile_w * tile_h
     tile_id = pl.program_id(0)
-    start = ranges_ref[tile_id, 0]
+    # tile ranges are chunk-aligned by construction (binning relayout); the
+    # hint lets Mosaic prove the DMA lane offsets are 128-divisible.
+    start = pl.multiple_of(ranges_ref[tile_id, 0], chunk)
     end = ranges_ref[tile_id, 1]
     nchunks = pl.cdiv(end - start, chunk)
 
     px, py = _tile_pixel_coords(tile_id, grid_x, tile_w, tile_h)
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (pix, OUT_COLS), 1)
+
+    # init state: T=1, everything else 0
+    out_ref[0] = jnp.where(lane8 == O_T, 1.0, 0.0)
 
     def chunk_dma(slot, c):
         return pltpu.make_async_copy(
@@ -171,7 +210,7 @@ def _forward_kernel(
         chunk_dma(0, 0).start()
 
     def body(state):
-        c, T, Cr, Cg, Cb, invd, nc, done = state
+        c, _alldone = state
         slot = jax.lax.rem(c, 2)
 
         @pl.when(c + 1 < nchunks)
@@ -181,8 +220,14 @@ def _forward_kernel(
         chunk_dma(slot, c).wait()
         meta = meta_vmem[slot]
 
+        st = out_ref[0]  # (pix, OUT_COLS)
+        T = _col(st, O_T)
+        done = _col(st, O_DONE) > 0.0
+
         n_in_chunk = end - start - c * chunk
-        alpha, eligible, _ncap, _G, _dx, _dy = _chunk_alpha(meta, px, py, n_in_chunk, chunk)
+        alpha, eligible, _ncap, _G, _dx, _dy = _chunk_alpha(
+            meta, px, py, n_in_chunk, chunk
+        )
 
         om = 1.0 - alpha
         E = _exclusive_cumprod(om)  # prod of (1-a_j), j<k within chunk
@@ -197,40 +242,47 @@ def _forward_kernel(
         g = meta[F_G, :][None, :]
         b = meta[F_B, :][None, :]
         iv = meta[F_INVD, :][None, :]
-        Cr = Cr + jnp.sum(w * r, axis=1, keepdims=True)
-        Cg = Cg + jnp.sum(w * g, axis=1, keepdims=True)
-        Cb = Cb + jnp.sum(w * b, axis=1, keepdims=True)
-        invd = invd + jnp.sum(w * iv, axis=1, keepdims=True)
+        dCr = jnp.sum(w * r, axis=1, keepdims=True)
+        dCg = jnp.sum(w * g, axis=1, keepdims=True)
+        dCb = jnp.sum(w * b, axis=1, keepdims=True)
+        dinvd = jnp.sum(w * iv, axis=1, keepdims=True)
 
         # new transmittance: multiply contributing factors only
-        T = T * jnp.prod(jnp.where(contrib, om, 1.0), axis=1, keepdims=True)
+        T_new = T * _row_prod(jnp.where(contrib, om, 1.0))
 
         # last contributor position (1-based within the tile range)
         lane = jax.lax.broadcasted_iota(jnp.int32, (pix, chunk), 1)
-        pos = c * chunk + lane + 1
-        nc = jnp.maximum(nc, jnp.max(jnp.where(contrib, pos, 0), axis=1, keepdims=True))
+        pos = (c * chunk + lane + 1).astype(jnp.float32)
+        nc_new = jnp.maximum(
+            _col(st, O_NCONTRIB),
+            jnp.max(jnp.where(contrib, pos, 0.0), axis=1, keepdims=True),
+        )
+        done_new = jnp.where(
+            done | jnp.any(bad, axis=1, keepdims=True), 1.0, 0.0
+        )
 
-        done = done | jnp.any(bad, axis=1, keepdims=True)
-        return c + 1, T, Cr, Cg, Cb, invd, nc, done
+        new_st = jnp.concatenate(
+            [
+                _col(st, O_R) + dCr,
+                _col(st, O_G) + dCg,
+                _col(st, O_B) + dCb,
+                T_new,
+                _col(st, O_INVD) + dinvd,
+                nc_new,
+                done_new,
+                jnp.zeros((pix, 1), jnp.float32),
+            ],
+            axis=1,
+        )
+        out_ref[0] = new_st
+        alldone = jnp.sum(done_new) >= float(pix)
+        return c + 1, alldone
 
     def cond(state):
-        c = state[0]
-        done = state[7]
-        return (c < nchunks) & jnp.logical_not(jnp.all(done))
+        c, alldone = state
+        return (c < nchunks) & jnp.logical_not(alldone)
 
-    zero = jnp.zeros((pix, 1), jnp.float32)
-    init = (
-        jnp.int32(0),
-        jnp.ones((pix, 1), jnp.float32),
-        zero,
-        zero,
-        zero,
-        zero,
-        jnp.zeros((pix, 1), jnp.int32),
-        jnp.zeros((pix, 1), jnp.bool_),
-    )
-    final = jax.lax.while_loop(cond, body, init)
-    c_final, T, Cr, Cg, Cb, invd, nc = final[0], final[1], final[2], final[3], final[4], final[5], final[6]
+    c_final, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(False)))
 
     # Drain the prefetch issued by the last executed iteration (early exit
     # leaves chunk c_final's DMA in flight).
@@ -238,16 +290,11 @@ def _forward_kernel(
     def _():
         chunk_dma(jax.lax.rem(c_final, 2), c_final).wait()
 
-    packed = jnp.concatenate(
-        [Cr, Cg, Cb, T, invd, nc.astype(jnp.float32), zero, zero], axis=1
-    )
-    out_ref[0] = packed
-
 
 def blend_forward_pallas(
     meta: jnp.ndarray,  # (NUM_FIELDS, cap_padded) field-major instance records
-    tile_starts: jnp.ndarray,  # (num_tiles,)
-    tile_ends: jnp.ndarray,  # (num_tiles,)
+    tile_starts: jnp.ndarray,  # (num_tiles,) — multiples of chunk
+    tile_ends: jnp.ndarray,  # (num_tiles,) — start + true count
     *,
     grid_x: int,
     grid_y: int,
@@ -268,7 +315,7 @@ def blend_forward_pallas(
         num_scalar_prefetch=1,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec((1, pix, OUT_COLS), lambda t, ranges: (t, 0, 0)),
         scratch_shapes=[
@@ -291,10 +338,11 @@ def blend_forward_pallas(
 
 def _backward_kernel(
     ranges_ref,  # (num_tiles, 2) int32, scalar-prefetched into SMEM
-    meta_hbm,  # (NUM_FIELDS, cap_padded) ANY
+    meta_hbm,  # (NUM_FIELDS, cap_padded) HBM
     fwd_ref,  # (1, PIX, OUT_COLS) VMEM: packed forward outputs
     ct_ref,  # (1, PIX, CT_COLS) VMEM: packed cotangents
-    grad_hbm,  # out (NUM_FIELDS, cap_padded) ANY
+    grad_hbm,  # out (NUM_FIELDS, cap_padded) HBM
+    state_ref,  # (PIX, STATE_COLS) VMEM scratch: forward-replay accumulators
     meta_vmem,  # (2, NUM_FIELDS, chunk) scratch
     grad_vmem,  # (2, NUM_FIELDS, chunk) scratch
     in_sems,  # (2,) DMA semaphores
@@ -307,30 +355,34 @@ def _backward_kernel(
 ):
     pix = tile_w * tile_h
     tile_id = pl.program_id(0)
-    start = ranges_ref[tile_id, 0]
+    start = pl.multiple_of(ranges_ref[tile_id, 0], chunk)
     end = ranges_ref[tile_id, 1]
 
     px, py = _tile_pixel_coords(tile_id, grid_x, tile_w, tile_h)
 
     fwd = fwd_ref[0]  # (PIX, OUT_COLS)
-    T_final = fwd[:, O_T][:, None]
-    C_tot_r = fwd[:, O_R][:, None]
-    C_tot_g = fwd[:, O_G][:, None]
-    C_tot_b = fwd[:, O_B][:, None]
-    invd_tot = fwd[:, O_INVD][:, None]
-    n_contrib = fwd[:, O_NCONTRIB].astype(jnp.int32)[:, None]
+    T_final = _col(fwd, O_T)
+    C_tot_r = _col(fwd, O_R)
+    C_tot_g = _col(fwd, O_G)
+    C_tot_b = _col(fwd, O_B)
+    invd_tot = _col(fwd, O_INVD)
+    n_contrib = _col(fwd, O_NCONTRIB)  # float, 1-based last contributor
 
     ct = ct_ref[0]
-    dC_r = ct[:, CT_R][:, None]
-    dC_g = ct[:, CT_G][:, None]
-    dC_b = ct[:, CT_B][:, None]
-    dinvd = ct[:, CT_INVD][:, None]
-    bgdot = ct[:, CT_BGDOT][:, None]  # cotangent of final_T (carries bg term)
+    dC_r = _col(ct, CT_R)
+    dC_g = _col(ct, CT_G)
+    dC_b = _col(ct, CT_B)
+    dinvd = _col(ct, CT_INVD)
+    ct_T = _col(ct, CT_BGDOT)  # cotangent of final_T (carries the bg term)
 
     # Every chunk of this tile's range is processed and written (tail chunks
     # naturally produce zero gradients); slots not covered by any tile are
-    # masked by the caller via num_instances.
+    # masked by the caller via total_aligned.
     nchunks = pl.cdiv(end - start, chunk)
+
+    # replay state: T=1, prefix sums 0
+    lane_s = jax.lax.broadcasted_iota(jnp.int32, (pix, STATE_COLS), 1)
+    state_ref[:] = jnp.where(lane_s == S_T, 1.0, 0.0)
 
     def in_dma(slot, c):
         return pltpu.make_async_copy(
@@ -350,8 +402,7 @@ def _backward_kernel(
     def _():
         in_dma(0, 0).start()
 
-    def body(c, state):
-        T, Br, Bg, Bb, Bi = state
+    def body(c, _):
         slot = jax.lax.rem(c, 2)
 
         @pl.when(c + 1 < nchunks)
@@ -364,6 +415,13 @@ def _backward_kernel(
         def _():
             out_dma(slot, c - 2).wait()
 
+        st = state_ref[:]
+        T = _col(st, S_T)
+        Br = _col(st, S_BR)
+        Bg = _col(st, S_BG)
+        Bb = _col(st, S_BB)
+        Bi = _col(st, S_BI)
+
         meta = meta_vmem[slot]
         n_in_chunk = end - start - c * chunk
         alpha, eligible, not_capped, G, dx, dy = _chunk_alpha(
@@ -371,13 +429,13 @@ def _backward_kernel(
         )
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (pix, chunk), 1)
-        pos = c * chunk + lane  # 0-based position within the tile range
+        pos = (c * chunk + lane).astype(jnp.float32)  # 0-based position
         contrib = eligible & (pos < n_contrib)
         a = jnp.where(contrib, alpha, 0.0)
 
         om = 1.0 - a
         E = _exclusive_cumprod(om)
-        T_before = T * E  # (PIX, chunk) — true transmittance at each contrib
+        T_before = T * E  # true transmittance at each contributing instance
         w = a * T_before
 
         r = meta[F_R, :][None, :]
@@ -391,7 +449,7 @@ def _backward_kernel(
         Bb_in = Bb + _inclusive_cumsum(w * b)
         Bi_in = Bi + _inclusive_cumsum(w * iv)
 
-        # dC/da_k = c_k T_k - suffix_k/(1-a_k) - T_final*bg/(1-a_k), where
+        # dC/da_k = c_k T_k - suffix_k/(1-a_k) - T_final*ct_T/(1-a_k), where
         # suffix_k = C_total - prefix_incl(k)  (equivalent to the reference's
         # accum_rec formulation, backward.cu:556-590; see module docstring).
         inv_om = 1.0 / om
@@ -400,7 +458,7 @@ def _backward_kernel(
             + (g * T_before - (C_tot_g - Bg_in) * inv_om) * dC_g
             + (b * T_before - (C_tot_b - Bb_in) * inv_om) * dC_b
             + (iv * T_before - (invd_tot - Bi_in) * inv_om) * dinvd
-            - T_final * inv_om * bgdot
+            - T_final * inv_om * ct_T
         )
         dL_da = jnp.where(contrib, dL_da, 0.0)
 
@@ -449,17 +507,21 @@ def _backward_kernel(
         )
         out_dma(slot, c).start()
 
-        T = T * jnp.prod(om, axis=1, keepdims=True)
-        return (T, Br_in[:, -1:], Bg_in[:, -1:], Bb_in[:, -1:], Bi_in[:, -1:])
+        new_state = jnp.concatenate(
+            [
+                T * _row_prod(om),
+                _last_lane(Br_in),
+                _last_lane(Bg_in),
+                _last_lane(Bb_in),
+                _last_lane(Bi_in),
+                jnp.zeros((pix, STATE_COLS - 5), jnp.float32),
+            ],
+            axis=1,
+        )
+        state_ref[:] = new_state
+        return 0
 
-    init = (
-        jnp.ones((pix, 1), jnp.float32),
-        jnp.zeros((pix, 1), jnp.float32),
-        jnp.zeros((pix, 1), jnp.float32),
-        jnp.zeros((pix, 1), jnp.float32),
-        jnp.zeros((pix, 1), jnp.float32),
-    )
-    jax.lax.fori_loop(0, nchunks, body, init)
+    jax.lax.fori_loop(0, nchunks, body, 0)
 
     # Drain outstanding gradient write-outs (last one or two chunks).
     @pl.when(nchunks > 1)
@@ -488,8 +550,8 @@ def blend_backward_pallas(
     """Per-instance-slot gradients, shape (NUM_FIELDS, cap_padded).
 
     Slots within a tile range are always written (zeros where nothing
-    contributed); slots not covered by any tile (sort padding) are left
-    *undefined* — callers mask by ``slot < num_instances`` before reducing.
+    contributed); slots beyond the chunk-aligned written region are left
+    *undefined* — callers mask by ``slot < total_aligned`` before reducing.
     """
     num_tiles = grid_x * grid_y
     pix = tile_w * tile_h
@@ -502,12 +564,13 @@ def blend_backward_pallas(
         num_scalar_prefetch=1,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((1, pix, OUT_COLS), lambda t, ranges: (t, 0, 0)),
             pl.BlockSpec((1, pix, CT_COLS), lambda t, ranges: (t, 0, 0)),
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
+            pltpu.VMEM((pix, STATE_COLS), jnp.float32),
             pltpu.VMEM((2, NUM_FIELDS, chunk), jnp.float32),
             pltpu.VMEM((2, NUM_FIELDS, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),

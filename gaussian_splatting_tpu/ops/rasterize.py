@@ -65,16 +65,16 @@ def _make_blend_core(grid_x, grid_y, tile_w, tile_h, chunk, interpret):
     )
 
     @jax.custom_vjp
-    def core(meta, starts, ends, num_instances):
-        del num_instances
+    def core(meta, starts, ends, total_aligned):
+        del total_aligned
         return bp.blend_forward_pallas(meta, starts, ends, **kw)
 
-    def core_fwd(meta, starts, ends, num_instances):
+    def core_fwd(meta, starts, ends, total_aligned):
         packed = bp.blend_forward_pallas(meta, starts, ends, **kw)
-        return packed, (meta, starts, ends, num_instances, packed)
+        return packed, (meta, starts, ends, total_aligned, packed)
 
     def core_bwd(res, ct):
-        meta, starts, ends, num_instances, packed = res
+        meta, starts, ends, total_aligned, packed = res
         # Reorder the packed-output cotangents into the kernel's CT layout;
         # the T-column cotangent carries the background-compositing term
         # (and any direct use of final_T by the loss).
@@ -93,15 +93,16 @@ def _make_blend_core(grid_x, grid_y, tile_w, tile_h, chunk, interpret):
             axis=-1,
         )
         dmeta = bp.blend_backward_pallas(meta, starts, ends, packed, ct_packed, **kw)
-        # Sort-padding slots are never written by any tile program; zero them
-        # before the gather-VJP scatter-adds instance grads onto Gaussians.
+        # Slots beyond the chunk-aligned written region belong to no tile and
+        # hold garbage; zero them before the gather-VJP scatter-adds instance
+        # grads onto Gaussians.
         slot = jnp.arange(meta.shape[1], dtype=jnp.int32)
-        dmeta = jnp.where(slot[None, :] < num_instances, dmeta, 0.0)
+        dmeta = jnp.where(slot[None, :] < total_aligned, dmeta, 0.0)
         return (
             dmeta,
             _float0_zeros(starts),
             _float0_zeros(ends),
-            _float0_zeros(num_instances),
+            _float0_zeros(total_aligned),
         )
 
     core.defvjp(core_fwd, core_bwd)
@@ -114,10 +115,12 @@ def _build_meta(proj: ProjectedGaussians, binned: BinnedInstances, chunk: int) -
     Differentiable: its VJP is a deterministic XLA scatter-add reducing
     per-instance gradients onto Gaussians (replaces backward.cu's atomicAdd).
     """
-    ids = binned.gaussian_ids
+    raw_ids = binned.gaussian_ids
+    pad = raw_ids < 0  # chunk-alignment padding slots
+    ids = jnp.maximum(raw_ids, 0)
     xy = proj.means2d[ids]
     con = proj.conics[ids]
-    op = proj.opacities[ids]
+    op = jnp.where(pad, 0.0, proj.opacities[ids])  # padding never contributes
     rgb = proj.colors[ids]
     safe_depth = jnp.where(proj.valid, proj.depths, 1.0)
     invd = (1.0 / safe_depth)[ids]
@@ -226,12 +229,13 @@ def render(
         grid_x=grid_x,
         grid_y=grid_y,
         capacity=capacity,
+        chunk=cfg.chunk,
     )
     meta = _build_meta(proj, binned, cfg.chunk)
 
     interpret = jax.default_backend() != "tpu"
     core = _make_blend_core(grid_x, grid_y, tile_w, tile_h, cfg.chunk, interpret)
-    packed = core(meta, binned.tile_starts, binned.tile_ends, binned.num_instances)
+    packed = core(meta, binned.tile_starts, binned.tile_ends, binned.total_aligned)
 
     img = _untile(packed, grid_x, grid_y, tile_w, tile_h, W, H)
     c_nobg = img[bp.O_R : bp.O_B + 1]
