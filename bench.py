@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark: rasterizer forward+backward throughput at 1080p.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures pixels/s/chip for a full differentiable render (forward + backward
+through the Pallas kernels and the preprocess autodiff) on a synthetic scene
+sized like a mid-training MipNeRF360 run.  ``vs_baseline`` is relative to an
+estimated A100 reference-rasterizer fwd+bwd throughput at 1080p
+(~2.0e8 px/s: the reference CUDA rasterizer trains garden-scale scenes at
+~10 ms/iter on A100-class hardware; the repo publishes no machine-readable
+number — see BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+A100_BASELINE_PX_S = 2.0e8
+
+NUM_GAUSSIANS = int(os.environ.get("BENCH_GAUSSIANS", 500_000))
+WIDTH = int(os.environ.get("BENCH_WIDTH", 1920))
+HEIGHT = int(os.environ.get("BENCH_HEIGHT", 1080))
+ITERS = int(os.environ.get("BENCH_ITERS", 10))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gaussian_splatting_tpu.config import RasterizeConfig
+    from gaussian_splatting_tpu.ops.rasterize import render
+    from gaussian_splatting_tpu.utils.testing import random_scene
+
+    scene = random_scene(
+        NUM_GAUSSIANS,
+        sh_degree=3,
+        width=WIDTH,
+        height=HEIGHT,
+        seed=0,
+        spread=2.0,
+        scale_range=(0.004, 0.02),
+        cam_distance=4.0,
+    )
+    cfg = RasterizeConfig(instance_slack=4.0)
+
+    def loss_fn(means3d, scales, quats, opacities, sh):
+        out = render(
+            means3d, scales, quats, opacities, sh,
+            scene.cam, scene.bg, sh_degree=3, cfg=cfg, impl="pallas",
+        )
+        return jnp.sum(out.image) + jnp.sum(out.invdepth), out.num_instances
+
+    args = (scene.means3d, scene.scales, scene.quats, scene.opacities, scene.sh)
+    step = jax.jit(jax.grad(lambda *a: loss_fn(*a)[0], argnums=(0, 1, 2, 3, 4)))
+
+    # compile + warmup
+    g = step(*args)
+    jax.block_until_ready(g)
+
+    t0 = time.time()
+    for _ in range(ITERS):
+        g = step(*args)
+    jax.block_until_ready(g)
+    dt = (time.time() - t0) / ITERS
+
+    pixels = WIDTH * HEIGHT
+    value = pixels / dt
+    print(
+        json.dumps(
+            {
+                "metric": "rasterizer_fwd_bwd_pixels_per_s_per_chip_1080p",
+                "value": value,
+                "unit": "pixels/s",
+                "vs_baseline": value / A100_BASELINE_PX_S,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

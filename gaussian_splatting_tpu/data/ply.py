@@ -40,9 +40,7 @@ _NAMES = {np.float32: "float", np.float64: "double", np.uint8: "uchar", np.int32
 def write_ply(path: str, names: List[str], columns: List[np.ndarray]) -> None:
     """Write one 'vertex' element with the given property columns."""
     n = len(columns[0])
-    rec = np.core.records.fromarrays(
-        [np.ascontiguousarray(c) for c in columns], names=names
-    )
+    rec = np.rec.fromarrays([np.ascontiguousarray(c) for c in columns], names=names)
     with open(path, "wb") as f:
         f.write(b"ply\nformat binary_little_endian 1.0\n")
         f.write(f"element vertex {n}\n".encode())

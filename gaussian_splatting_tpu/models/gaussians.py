@@ -130,6 +130,15 @@ def create_from_pcd(
     """
     n = points.shape[0]
     capacity = capacity or int(n * 1.5) + 1024
+    if n > capacity:
+        print(
+            f"[create_from_pcd] subsampling init cloud {n} -> {capacity} points "
+            "(capacity limit)"
+        )
+        sel = np.random.default_rng(0).choice(n, capacity, replace=False)
+        points = np.asarray(points)[sel]
+        colors = np.asarray(colors)[sel]
+        n = capacity
     pts = jnp.asarray(points, jnp.float32)
 
     if exact_knn is None:

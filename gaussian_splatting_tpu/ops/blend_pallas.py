@@ -173,7 +173,8 @@ def _col(state: jnp.ndarray, i: int) -> jnp.ndarray:
 
 
 def _forward_kernel(
-    ranges_ref,  # (num_tiles, 2) int32, scalar-prefetched into SMEM
+    starts_ref,  # (num_tiles,) int32, scalar-prefetched into SMEM
+    ends_ref,  # (num_tiles,) int32
     meta_hbm,  # (NUM_FIELDS, cap_padded) HBM
     out_ref,  # (1, PIX, OUT_COLS) VMEM — doubles as accumulator state
     meta_vmem,  # (2, NUM_FIELDS, chunk) VMEM scratch
@@ -188,8 +189,8 @@ def _forward_kernel(
     tile_id = pl.program_id(0)
     # tile ranges are chunk-aligned by construction (binning relayout); the
     # hint lets Mosaic prove the DMA lane offsets are 128-divisible.
-    start = pl.multiple_of(ranges_ref[tile_id, 0], chunk)
-    end = ranges_ref[tile_id, 1]
+    start = pl.multiple_of(starts_ref[tile_id], chunk)
+    end = ends_ref[tile_id]
     nchunks = pl.cdiv(end - start, chunk)
 
     px, py = _tile_pixel_coords(tile_id, grid_x, tile_w, tile_h)
@@ -306,18 +307,16 @@ def blend_forward_pallas(
     """Run the forward blend. Returns packed (num_tiles, PIX, OUT_COLS)."""
     num_tiles = grid_x * grid_y
     pix = tile_w * tile_h
-    ranges = jnp.stack([tile_starts, tile_ends], axis=-1).astype(jnp.int32)
-
     kernel = functools.partial(
         _forward_kernel, grid_x=grid_x, tile_w=tile_w, tile_h=tile_h, chunk=chunk
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((1, pix, OUT_COLS), lambda t, ranges: (t, 0, 0)),
+        out_specs=pl.BlockSpec((1, pix, OUT_COLS), lambda t, s_, e_: (t, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, NUM_FIELDS, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -328,7 +327,7 @@ def blend_forward_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles, pix, OUT_COLS), jnp.float32),
         interpret=interpret,
-    )(ranges, meta)
+    )(tile_starts.astype(jnp.int32), tile_ends.astype(jnp.int32), meta)
 
 
 # --------------------------------------------------------------------------
@@ -337,7 +336,8 @@ def blend_forward_pallas(
 
 
 def _backward_kernel(
-    ranges_ref,  # (num_tiles, 2) int32, scalar-prefetched into SMEM
+    starts_ref,  # (num_tiles,) int32, scalar-prefetched into SMEM
+    ends_ref,  # (num_tiles,) int32
     meta_hbm,  # (NUM_FIELDS, cap_padded) HBM
     fwd_ref,  # (1, PIX, OUT_COLS) VMEM: packed forward outputs
     ct_ref,  # (1, PIX, CT_COLS) VMEM: packed cotangents
@@ -355,8 +355,8 @@ def _backward_kernel(
 ):
     pix = tile_w * tile_h
     tile_id = pl.program_id(0)
-    start = pl.multiple_of(ranges_ref[tile_id, 0], chunk)
-    end = ranges_ref[tile_id, 1]
+    start = pl.multiple_of(starts_ref[tile_id], chunk)
+    end = ends_ref[tile_id]
 
     px, py = _tile_pixel_coords(tile_id, grid_x, tile_w, tile_h)
 
@@ -555,18 +555,16 @@ def blend_backward_pallas(
     """
     num_tiles = grid_x * grid_y
     pix = tile_w * tile_h
-    ranges = jnp.stack([tile_starts, tile_ends], axis=-1).astype(jnp.int32)
-
     kernel = functools.partial(
         _backward_kernel, grid_x=grid_x, tile_w=tile_w, tile_h=tile_h, chunk=chunk
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, pix, OUT_COLS), lambda t, ranges: (t, 0, 0)),
-            pl.BlockSpec((1, pix, CT_COLS), lambda t, ranges: (t, 0, 0)),
+            pl.BlockSpec((1, pix, OUT_COLS), lambda t, s_, e_: (t, 0, 0)),
+            pl.BlockSpec((1, pix, CT_COLS), lambda t, s_, e_: (t, 0, 0)),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
@@ -583,4 +581,4 @@ def blend_backward_pallas(
         out_shape=jax.ShapeDtypeStruct(meta.shape, jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(ranges, meta, fwd_packed, ct_packed)
+    )(tile_starts.astype(jnp.int32), tile_ends.astype(jnp.int32), meta, fwd_packed, ct_packed)

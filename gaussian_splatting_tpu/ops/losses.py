@@ -36,12 +36,17 @@ def l2_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
 @functools.lru_cache(maxsize=4)
 def _gaussian_window(window_size: int, sigma: float):
-    xs = [
-        math.exp(-((x - window_size // 2) ** 2) / (2.0 * sigma**2))
-        for x in range(window_size)
-    ]
-    g = jnp.asarray(xs, jnp.float32)
-    return g / jnp.sum(g)
+    # pure numpy so the cached value is a constant, never a leaked tracer
+    import numpy as np
+
+    xs = np.array(
+        [
+            math.exp(-((x - window_size // 2) ** 2) / (2.0 * sigma**2))
+            for x in range(window_size)
+        ],
+        np.float32,
+    )
+    return xs / xs.sum()
 
 
 def _blur(img: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:

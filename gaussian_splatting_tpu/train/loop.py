@@ -1,0 +1,315 @@
+"""Host-side training orchestration (reference train.py:48-256).
+
+The device-side work is the jitted ``train_step``/``densify_step``; this
+module owns camera sampling, interval logic (SH ramp, densify window,
+opacity reset), capacity growth on overflow, checkpointing, logging and
+evaluation hooks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+import random
+import time
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussian_splatting_tpu.config import (
+    ModelConfig,
+    OptimizationConfig,
+    PipelineConfig,
+    RasterizeConfig,
+)
+from gaussian_splatting_tpu.data.cameras import Camera
+from gaussian_splatting_tpu.models.gaussians import grow_capacity
+from gaussian_splatting_tpu.scene import Scene
+from gaussian_splatting_tpu.train.optim import AdamState, adam_init
+from gaussian_splatting_tpu.train.step import (
+    StepBatch,
+    TrainState,
+    densify_step,
+    init_train_state,
+    opacity_reset_step,
+    train_step,
+)
+from gaussian_splatting_tpu.utils.image import psnr
+
+
+def make_batch(camera: Camera, bg_color: np.ndarray) -> StepBatch:
+    h, w = camera.image.shape[1:]
+    alpha = camera.alpha_mask
+    return StepBatch(
+        gt_image=jnp.asarray(camera.image),
+        alpha_mask=jnp.asarray(
+            np.ones((1, h, w), np.float32) if alpha is None else alpha[None]
+        ),
+        invdepth_gt=jnp.asarray(
+            camera.invdepth
+            if camera.invdepth is not None
+            else np.zeros((h, w), np.float32)
+        ),
+        depth_mask=jnp.asarray(
+            camera.depth_mask
+            if camera.depth_mask is not None
+            else np.zeros((h, w), np.float32)
+        ),
+        exposure_idx=jnp.asarray(camera.exposure_idx, jnp.int32),
+        bg_color=jnp.asarray(bg_color),
+    )
+
+
+def grow_train_state(state: TrainState, new_capacity: int) -> TrainState:
+    """Host-side capacity bump for model + optimizer moments."""
+    old_cap = state.model.capacity
+    model = grow_capacity(state.model, new_capacity)
+    pad = new_capacity - old_cap
+
+    def grow(m):
+        return jnp.concatenate(
+            [m, jnp.zeros((pad,) + m.shape[1:], m.dtype)], axis=0
+        )
+
+    adam = AdamState(
+        count=state.adam.count,
+        mu=jax.tree_util.tree_map(grow, state.adam.mu),
+        nu=jax.tree_util.tree_map(grow, state.adam.nu),
+    )
+    return dataclasses.replace(state, model=model, adam=adam)
+
+
+def save_checkpoint(path: str, state: TrainState, iteration: int) -> None:
+    """Full training checkpoint (reference chkpnt<it>.pth, train.py:254-256,
+    including exposure state the reference's capture() forgets)."""
+    host = jax.tree_util.tree_map(np.asarray, state)
+    with open(path, "wb") as f:
+        pickle.dump({"state": host, "iteration": iteration}, f)
+
+
+def load_checkpoint(path: str) -> tuple:
+    with open(path, "rb") as f:
+        data = pickle.load(f)
+    state = jax.tree_util.tree_map(jnp.asarray, data["state"])
+    return state, data["iteration"]
+
+
+def train(
+    model_cfg: ModelConfig,
+    opt: OptimizationConfig,
+    pipe: PipelineConfig,
+    *,
+    test_iterations=(7_000, 30_000),
+    save_iterations=(7_000, 30_000),
+    checkpoint_iterations=(),
+    start_checkpoint: str = "",
+    seed: int = 0,
+    capacity: Optional[int] = None,
+    quiet: bool = False,
+    on_iteration: Optional[Callable] = None,
+) -> TrainState:
+    random.seed(seed)
+    np.random.seed(seed)
+
+    scene = Scene(model_cfg, capacity=capacity)
+    train_cams = scene.get_train_cameras()
+    use_depth = any(c.invdepth is not None for c in train_cams)
+    raster_holder = [
+        RasterizeConfig(antialiasing=pipe.antialiasing, impl=pipe.rasterizer_impl)
+    ]
+
+    state = init_train_state(scene.gaussians, len(train_cams))
+    first_iter = 0
+    if start_checkpoint:
+        state, first_iter = load_checkpoint(start_checkpoint)
+        print(f"Resumed from {start_checkpoint} at iteration {first_iter}")
+
+    bg = (
+        np.array([1.0, 1.0, 1.0], np.float32)
+        if model_cfg.white_background
+        else np.zeros(3, np.float32)
+    )
+
+    step_cache = {}
+
+    def get_step_fn(h, w):
+        key = (h, w, raster_holder[0].instance_slack)
+        if key not in step_cache:
+            step_cache[key] = jax.jit(
+                partial(
+                    train_step,
+                    opt=opt,
+                    raster=raster_holder[0],
+                    use_exposure=model_cfg.train_test_exp,
+                    use_depth=use_depth,
+                )
+            )
+        return step_cache[key]
+
+    densify_fn = jax.jit(
+        partial(densify_step, opt=opt, max_screen_size=20), static_argnames=()
+    )
+    densify_fn_nolimit = jax.jit(partial(densify_step, opt=opt, max_screen_size=0))
+    reset_fn = jax.jit(opacity_reset_step)
+
+    key = jax.random.PRNGKey(seed)
+    cam_stack = []
+    ema_loss = 0.0
+    t_start = time.time()
+
+    for iteration in range(first_iter + 1, opt.iterations + 1):
+        # SH degree ramp every 1000 iters (train.py:123-124)
+        if iteration % 1000 == 0:
+            state = dataclasses.replace(state, model=state.model.one_up_sh_degree())
+
+        if not cam_stack:
+            cam_stack = list(range(len(train_cams)))
+            random.shuffle(cam_stack)
+        camera = train_cams[cam_stack.pop()]
+
+        iter_bg = (
+            np.random.rand(3).astype(np.float32) if opt.random_background else bg
+        )
+        batch = make_batch(camera, iter_bg)
+        prev_state = state
+        fn = get_step_fn(camera.height, camera.width)
+        state, metrics = fn(state, camera.cam, batch)
+
+        # instance-buffer overflow means the render (and its gradients) were
+        # truncated: discard the step, double the slack, retry (the static
+        # replacement of the reference's device->host num_rendered realloc)
+        retries = 0
+        while bool(metrics["overflow"]) and retries < 4:
+            slack = raster_holder[0].instance_slack * 2.0
+            print(
+                f"[it {iteration}] instance buffer overflow — retrying with "
+                f"instance_slack={slack}"
+            )
+            raster_holder[0] = dataclasses.replace(
+                raster_holder[0], instance_slack=slack
+            )
+            fn = get_step_fn(camera.height, camera.width)
+            state, metrics = fn(prev_state, camera.cam, batch)
+            retries += 1
+
+        loss = float(metrics["loss"])
+        ema_loss = 0.4 * loss + 0.6 * ema_loss
+
+        # capacity pressure: grow when >90% full
+        if iteration % 100 == 0:
+            alive = int(metrics["num_alive"])
+            if alive > 0.9 * state.model.capacity:
+                new_cap = int(state.model.capacity * 1.5)
+                print(f"[it {iteration}] growing capacity {state.model.capacity} -> {new_cap}")
+                state = grow_train_state(state, new_cap)
+
+        # densification (train.py:210-230)
+        if iteration < opt.densify_until_iter:
+            if (
+                iteration > opt.densify_from_iter
+                and iteration % opt.densification_interval == 0
+            ):
+                key, sub = jax.random.split(key)
+                dfn = (
+                    densify_fn
+                    if iteration > opt.opacity_reset_interval
+                    else densify_fn_nolimit
+                )
+                state, dstats = dfn(state, sub)
+                if int(dstats["dropped"]) > 0:
+                    state = grow_train_state(state, int(state.model.capacity * 1.5))
+            if iteration % opt.opacity_reset_interval == 0 or (
+                model_cfg.white_background and iteration == opt.densify_from_iter
+            ):
+                state = reset_fn(state)
+
+        if not quiet and iteration % 500 == 0:
+            n = int(metrics["num_alive"])
+            print(
+                f"[it {iteration}/{opt.iterations}] loss={ema_loss:.5f} "
+                f"gaussians={n} inst={int(metrics['num_instances'])} "
+                f"({time.time() - t_start:.0f}s)"
+            )
+
+        if on_iteration is not None:
+            on_iteration(iteration, state, metrics)
+
+        if iteration in test_iterations:
+            report_psnr(scene, state, raster_holder[0], model_cfg, iteration)
+
+        if iteration in save_iterations:
+            print(f"\n[ITER {iteration}] Saving Gaussians")
+            scene.save(iteration, state.model, state.exposures)
+
+        if iteration in checkpoint_iterations:
+            print(f"\n[ITER {iteration}] Saving Checkpoint")
+            save_checkpoint(
+                os.path.join(model_cfg.model_path, f"chkpnt{iteration}.pkl"),
+                state,
+                iteration,
+            )
+
+    return state
+
+
+def render_camera(state: TrainState, camera: Camera, raster, bg, use_exposure=False):
+    """Eval-path render of one camera (no grads)."""
+    from gaussian_splatting_tpu.ops.rasterize import render
+    from gaussian_splatting_tpu.train.step import apply_exposure
+
+    model = state.model
+    p = model.params
+    sh = jnp.concatenate([p.features_dc, p.features_rest], axis=1)
+    K = sh.shape[1]
+    degs = jnp.floor(jnp.sqrt(jnp.arange(K, dtype=jnp.float32))).astype(jnp.int32)
+    sh = jnp.where((degs <= model.sh_degree)[None, :, None], sh, 0.0)
+    out = render(
+        p.means3d,
+        jnp.exp(p.scales),
+        p.quats / jnp.linalg.norm(p.quats, axis=-1, keepdims=True),
+        jax.nn.sigmoid(p.opacities) * model.aux.alive,
+        sh,
+        camera.cam,
+        jnp.asarray(bg),
+        sh_degree=model.max_sh_degree,
+    )
+    image = out.image
+    if use_exposure:
+        image = apply_exposure(image, state.exposures[camera.exposure_idx])
+        image = jnp.clip(image, 0.0, 1.0)
+    return image, out
+
+
+def report_psnr(scene: Scene, state: TrainState, raster, model_cfg, iteration):
+    """In-training eval (training_report, train.py:334-401)."""
+    bg = (
+        np.array([1.0, 1.0, 1.0], np.float32)
+        if model_cfg.white_background
+        else np.zeros(3, np.float32)
+    )
+    configs = [
+        ("test", scene.get_test_cameras()),
+        ("train", scene.get_train_cameras()[:5]),
+    ]
+    for name, cams in configs:
+        if not cams:
+            continue
+        psnrs, l1s = [], []
+        for cam in cams:
+            img, _ = render_camera(
+                state, cam, raster, bg, use_exposure=model_cfg.train_test_exp
+            )
+            gt = jnp.asarray(cam.image)
+            if model_cfg.train_test_exp:  # evaluate right half (train.py:365-367)
+                img = img[..., img.shape[-1] // 2 :]
+                gt = gt[..., gt.shape[-1] // 2 :]
+            psnrs.append(float(psnr(img, gt)))
+            l1s.append(float(jnp.abs(img - gt).mean()))
+        print(
+            f"\n[ITER {iteration}] Evaluating {name}: L1 {np.mean(l1s):.5f} "
+            f"PSNR {np.mean(psnrs):.2f}"
+        )

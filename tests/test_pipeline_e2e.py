@@ -1,0 +1,107 @@
+"""End-to-end pipeline test: synthetic dataset -> Scene -> short training run.
+
+This is the miniature version of BASELINE.json config 2 (train a scene and
+watch PSNR improve), small enough for the CPU test environment.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from gaussian_splatting_tpu.config import ModelConfig, OptimizationConfig, PipelineConfig
+from gaussian_splatting_tpu.utils.synthetic_dataset import generate_blender_dataset
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("synth_scene"))
+    generate_blender_dataset(
+        out, num_train=6, num_test=2, width=64, height=64, num_gaussians=200
+    )
+    return out
+
+
+def test_scene_loads(dataset, tmp_path):
+    from gaussian_splatting_tpu.scene import Scene
+
+    cfg = ModelConfig(
+        source_path=dataset, model_path=str(tmp_path / "model"), eval=True
+    )
+    scene = Scene(cfg, capacity=2048)
+    assert len(scene.get_train_cameras()) == 6
+    assert len(scene.get_test_cameras()) == 2
+    cam = scene.get_train_cameras()[0]
+    assert cam.image.shape == (3, 64, 64)
+    assert scene.cameras_extent > 0
+    assert os.path.exists(os.path.join(cfg.model_path, "cameras.json"))
+    assert os.path.exists(os.path.join(cfg.model_path, "input.ply"))
+    # synthetic blender init: 100k random points
+    assert int(scene.gaussians.num_alive()) > 0
+
+
+def test_short_training_improves(dataset, tmp_path):
+    from gaussian_splatting_tpu.train.loop import train
+    from gaussian_splatting_tpu.scene import Scene
+
+    model_dir = str(tmp_path / "model")
+    cfg = ModelConfig(source_path=dataset, model_path=model_dir, eval=True)
+    opt = OptimizationConfig(
+        iterations=60,
+        densify_from_iter=20,
+        densification_interval=25,
+        densify_until_iter=50,
+        opacity_reset_interval=10_000,
+    )
+    pipe = PipelineConfig()
+
+    losses = []
+
+    def track(it, state, metrics):
+        losses.append(float(metrics["loss"]))
+
+    state = train(
+        cfg,
+        opt,
+        pipe,
+        test_iterations=(),
+        save_iterations=(60,),
+        quiet=True,
+        capacity=4096,
+        on_iteration=track,
+        seed=1,
+    )
+    assert len(losses) == 60
+    assert np.isfinite(losses).all()
+    # loss should clearly decrease
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]) * 0.9
+    # snapshot written and loadable
+    ply = os.path.join(model_dir, "point_cloud", "iteration_60", "point_cloud.ply")
+    assert os.path.exists(ply)
+    from gaussian_splatting_tpu.scene import load_model_ply
+
+    m = load_model_ply(ply, max_sh_degree=3)
+    assert int(m.num_alive()) > 0
+
+
+def test_checkpoint_roundtrip(dataset, tmp_path):
+    from gaussian_splatting_tpu.train.loop import (
+        load_checkpoint,
+        save_checkpoint,
+        train,
+    )
+
+    cfg = ModelConfig(source_path=dataset, model_path=str(tmp_path / "m2"))
+    opt = OptimizationConfig(iterations=5, densify_from_iter=1000)
+    state = train(
+        cfg, opt, PipelineConfig(), test_iterations=(), save_iterations=(),
+        quiet=True, capacity=2048,
+    )
+    p = str(tmp_path / "ck.pkl")
+    save_checkpoint(p, state, 5)
+    state2, it = load_checkpoint(p)
+    assert it == 5
+    np.testing.assert_array_equal(
+        np.asarray(state.model.params.means3d), np.asarray(state2.model.params.means3d)
+    )
+    assert int(state2.adam.count) == int(state.adam.count)

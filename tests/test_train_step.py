@@ -1,0 +1,125 @@
+"""End-to-end training-step tests on a synthetic in-memory scene."""
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussian_splatting_tpu.config import OptimizationConfig, RasterizeConfig
+from gaussian_splatting_tpu.models.gaussians import create_from_pcd
+from gaussian_splatting_tpu.train.loop import grow_train_state
+from gaussian_splatting_tpu.train.step import (
+    StepBatch,
+    densify_step,
+    init_train_state,
+    opacity_reset_step,
+    train_step,
+)
+from gaussian_splatting_tpu.utils.testing import random_scene
+
+
+def _setup(n=120, cap=256, w=48, h=32):
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-0.8, 0.8, (n, 3)).astype(np.float32)
+    cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    model = create_from_pcd(pts, cols, max_sh_degree=2, spatial_lr_scale=1.5, capacity=cap)
+    scene = random_scene(4, width=w, height=h, seed=1)  # only for the camera
+    gt = np.clip(
+        rng.uniform(0, 1, (3, h, w)).astype(np.float32), 0, 1
+    )
+    batch = StepBatch(
+        gt_image=jnp.asarray(gt),
+        alpha_mask=jnp.ones((1, h, w)),
+        invdepth_gt=jnp.zeros((h, w)),
+        depth_mask=jnp.zeros((h, w)),
+        exposure_idx=jnp.asarray(0, jnp.int32),
+        bg_color=jnp.zeros(3),
+    )
+    state = init_train_state(model, num_images=4)
+    return state, scene.cam, batch
+
+
+def test_train_step_decreases_loss():
+    state, cam, batch = _setup()
+    opt = OptimizationConfig()
+    fn = jax.jit(partial(train_step, opt=opt, raster=RasterizeConfig()))
+    losses = []
+    for _ in range(12):
+        state, metrics = fn(state, cam, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # step counter advanced; params finite
+    assert int(state.step) == 12
+    for leaf in jax.tree_util.tree_leaves(state.model.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_train_step_accumulates_densify_stats():
+    state, cam, batch = _setup()
+    opt = OptimizationConfig()
+    fn = jax.jit(partial(train_step, opt=opt, raster=RasterizeConfig()))
+    state, _ = fn(state, cam, batch)
+    assert float(jnp.sum(state.model.aux.denom)) > 0
+    assert float(jnp.sum(state.model.aux.xyz_grad_accum)) >= 0
+    assert float(jnp.max(state.model.aux.max_radii2d)) > 0
+
+
+def test_sparse_adam_only_updates_visible():
+    state, cam, batch = _setup()
+    opt = OptimizationConfig(optimizer_type="sparse_adam")
+    fn = jax.jit(partial(train_step, opt=opt, raster=RasterizeConfig()))
+    before = np.asarray(state.model.params.means3d)
+    state2, metrics = fn(state, cam, batch)
+    after = np.asarray(state2.model.params.means3d)
+    moved = np.abs(after - before).sum(axis=-1) > 0
+    # dead capacity slots must never move
+    alive = np.asarray(state.model.aux.alive)
+    assert not moved[~alive].any()
+
+
+def test_densify_and_reset_jitted():
+    state, cam, batch = _setup()
+    opt = OptimizationConfig()
+    fn = jax.jit(partial(train_step, opt=opt, raster=RasterizeConfig()))
+    for _ in range(3):
+        state, _ = fn(state, cam, batch)
+    dfn = jax.jit(partial(densify_step, opt=opt, max_screen_size=0))
+    state2, stats = dfn(state, jax.random.PRNGKey(0))
+    assert int(stats["num_alive"]) >= 0
+    # stats reset after densify
+    assert float(jnp.sum(state2.model.aux.denom)) == 0.0
+    state3 = jax.jit(opacity_reset_step)(state2)
+    op = np.asarray(jax.nn.sigmoid(state3.model.params.opacities))
+    alive = np.asarray(state3.model.aux.alive)
+    assert (op[alive] <= 0.0101).all()
+    # opacity moments zeroed
+    assert float(jnp.abs(state3.adam.mu.opacities).sum()) == 0.0
+
+
+def test_grow_train_state():
+    state, cam, batch = _setup(cap=160)
+    opt = OptimizationConfig()
+    fn = jax.jit(partial(train_step, opt=opt, raster=RasterizeConfig()))
+    state, _ = fn(state, cam, batch)
+    bigger = grow_train_state(state, 320)
+    assert bigger.model.capacity == 320
+    assert bigger.adam.mu.means3d.shape[0] == 320
+    # training continues after growth (recompile at new shape)
+    fn2 = jax.jit(partial(train_step, opt=opt, raster=RasterizeConfig()))
+    bigger2, metrics = fn2(bigger, cam, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_exposure_step():
+    state, cam, batch = _setup()
+    opt = OptimizationConfig()
+    fn = jax.jit(
+        partial(train_step, opt=opt, raster=RasterizeConfig(), use_exposure=True)
+    )
+    state2, _ = fn(state, cam, batch)
+    # exposure for image 0 moved, others (no grad) only via zero-grad moment decay
+    d0 = np.abs(np.asarray(state2.exposures[0]) - np.asarray(state.exposures[0])).sum()
+    assert d0 > 0
