@@ -48,6 +48,8 @@ class ColmapImage:
     tvec: np.ndarray  # (3,)
     camera_id: int
     name: str
+    xys: np.ndarray = None  # (M, 2) 2D observations (when load_points2d)
+    point3d_ids: np.ndarray = None  # (M,) int64, -1 = no 3D point
 
 
 def qvec_to_rotmat(q: np.ndarray) -> np.ndarray:
@@ -100,7 +102,7 @@ def read_cameras_binary(path: str) -> Dict[int, ColmapCamera]:
     return out
 
 
-def read_images_binary(path: str) -> Dict[int, ColmapImage]:
+def read_images_binary(path: str, load_points2d: bool = False) -> Dict[int, ColmapImage]:
     out = {}
     with open(path, "rb") as f:
         (n,) = _read(f, "<Q")
@@ -116,25 +118,41 @@ def read_images_binary(path: str) -> Dict[int, ColmapImage]:
                     break
                 name += c
             (npts,) = _read(f, "<Q")
-            f.seek(24 * npts, os.SEEK_CUR)  # skip 2D points (x, y, point3D_id)
-            out[img_id] = ColmapImage(img_id, qvec, tvec, cam_id, name.decode("utf-8"))
+            xys = p3d = None
+            if load_points2d:
+                # records of (x f64, y f64, point3D_id i64)
+                rec = np.frombuffer(
+                    f.read(24 * npts),
+                    dtype=np.dtype([("x", "<f8"), ("y", "<f8"), ("id", "<i8")]),
+                )
+                xys = np.stack([rec["x"], rec["y"]], axis=-1)
+                p3d = rec["id"].copy()
+            else:
+                f.seek(24 * npts, os.SEEK_CUR)
+            out[img_id] = ColmapImage(
+                img_id, qvec, tvec, cam_id, name.decode("utf-8"), xys, p3d
+            )
     return out
 
 
-def read_points3d_binary(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Returns (xyz (N,3) f64, rgb (N,3) u8, errors (N,))."""
+def read_points3d_binary(path: str, return_ids: bool = False):
+    """Returns (xyz (N,3) f64, rgb (N,3) u8, errors (N,)) [+ ids (N,) i64]."""
     with open(path, "rb") as f:
         (n,) = _read(f, "<Q")
         xyz = np.empty((n, 3), np.float64)
         rgb = np.empty((n, 3), np.uint8)
         err = np.empty((n,), np.float64)
+        ids = np.empty((n,), np.int64)
         for i in range(n):
             data = _read(f, "<Q3d3Bd")
+            ids[i] = data[0]
             xyz[i] = data[1:4]
             rgb[i] = data[4:7]
             err[i] = data[7]
             (track_len,) = _read(f, "<Q")
             f.seek(8 * track_len, os.SEEK_CUR)
+    if return_ids:
+        return xyz, rgb, err, ids
     return xyz, rgb, err
 
 
@@ -160,35 +178,46 @@ def read_cameras_text(path: str) -> Dict[int, ColmapCamera]:
     return out
 
 
-def read_images_text(path: str) -> Dict[int, ColmapImage]:
+def read_images_text(path: str, load_points2d: bool = False) -> Dict[int, ColmapImage]:
     out = {}
     with open(path) as f:
         lines = [l.strip() for l in f if l.strip() and not l.startswith("#")]
-    for meta in lines[0::2]:  # every other line is the 2D-point list
+    for meta, pts_line in zip(lines[0::2], lines[1::2]):
         parts = meta.split()
         img_id = int(parts[0])
         qvec = np.array([float(p) for p in parts[1:5]])
         tvec = np.array([float(p) for p in parts[5:8]])
-        out[img_id] = ColmapImage(img_id, qvec, tvec, int(parts[8]), parts[9])
+        xys = p3d = None
+        if load_points2d:
+            vals = np.array(pts_line.split(), np.float64).reshape(-1, 3)
+            xys = vals[:, :2]
+            p3d = vals[:, 2].astype(np.int64)
+        out[img_id] = ColmapImage(
+            img_id, qvec, tvec, int(parts[8]), parts[9], xys, p3d
+        )
     return out
 
 
-def read_points3d_text(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    xyz, rgb, err = [], [], []
+def read_points3d_text(path: str, return_ids: bool = False):
+    xyz, rgb, err, ids = [], [], [], []
     with open(path) as f:
         for line in f:
             line = line.strip()
             if not line or line.startswith("#"):
                 continue
             parts = line.split()
+            ids.append(int(parts[0]))
             xyz.append([float(p) for p in parts[1:4]])
             rgb.append([int(p) for p in parts[4:7]])
             err.append(float(parts[7]))
-    return (
+    out = (
         np.asarray(xyz, np.float64),
         np.asarray(rgb, np.uint8),
         np.asarray(err, np.float64),
     )
+    if return_ids:
+        return out + (np.asarray(ids, np.int64),)
+    return out
 
 
 # ------------------------------------------------------------------ writers (for tests / synthetic scenes)

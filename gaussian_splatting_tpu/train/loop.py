@@ -111,6 +111,9 @@ def train(
     capacity: Optional[int] = None,
     quiet: bool = False,
     on_iteration: Optional[Callable] = None,
+    viewer_ip: str = "",
+    viewer_port: int = 6009,
+    tb_writer=None,
 ) -> TrainState:
     random.seed(seed)
     np.random.seed(seed)
@@ -156,12 +159,33 @@ def train(
     densify_fn_nolimit = jax.jit(partial(densify_step, opt=opt, max_screen_size=0))
     reset_fn = jax.jit(opacity_reset_step)
 
+    viewer = None
+    if viewer_ip:
+        from gaussian_splatting_tpu.viewer import ViewerServer
+
+        try:
+            viewer = ViewerServer(viewer_ip, viewer_port)
+        except OSError as e:
+            print(f"Viewer server unavailable ({e}); continuing without GUI")
+
     key = jax.random.PRNGKey(seed)
     cam_stack = []
     ema_loss = 0.0
     t_start = time.time()
 
     for iteration in range(first_iter + 1, opt.iterations + 1):
+        if viewer is not None:
+            from gaussian_splatting_tpu.viewer.network_gui import poll_viewer
+
+            poll_viewer(
+                viewer,
+                lambda cam, sm: np.asarray(
+                    render_custom_cam(state, cam, bg, scale_modifier=sm)
+                ),
+                model_cfg.source_path,
+                iteration,
+                opt.iterations,
+            )
         # SH degree ramp every 1000 iters (train.py:123-124)
         if iteration % 1000 == 0:
             state = dataclasses.replace(state, model=state.model.one_up_sh_degree())
@@ -198,6 +222,12 @@ def train(
 
         loss = float(metrics["loss"])
         ema_loss = 0.4 * loss + 0.6 * ema_loss
+
+        if tb_writer is not None:
+            # training_report scalars (train.py:336-339)
+            tb_writer.add_scalar("train_loss_patches/l1_loss", float(metrics["l1"]), iteration)
+            tb_writer.add_scalar("train_loss_patches/total_loss", loss, iteration)
+            tb_writer.add_scalar("total_points", int(metrics["num_alive"]), iteration)
 
         # capacity pressure: grow when >90% full
         if iteration % 100 == 0:
@@ -253,7 +283,25 @@ def train(
                 iteration,
             )
 
+    if viewer is not None:
+        viewer.close()
     return state
+
+
+def _activated_params(model):
+    """Raw params -> rasterizer inputs (activations + active-SH masking)."""
+    p = model.params
+    sh = jnp.concatenate([p.features_dc, p.features_rest], axis=1)
+    K = sh.shape[1]
+    degs = jnp.floor(jnp.sqrt(jnp.arange(K, dtype=jnp.float32))).astype(jnp.int32)
+    sh = jnp.where((degs <= model.sh_degree)[None, :, None], sh, 0.0)
+    return (
+        p.means3d,
+        jnp.exp(p.scales),
+        p.quats / jnp.linalg.norm(p.quats, axis=-1, keepdims=True),
+        jax.nn.sigmoid(p.opacities) * model.aux.alive,
+        sh,
+    )
 
 
 def render_camera(state: TrainState, camera: Camera, raster, bg, use_exposure=False):
@@ -262,17 +310,9 @@ def render_camera(state: TrainState, camera: Camera, raster, bg, use_exposure=Fa
     from gaussian_splatting_tpu.train.step import apply_exposure
 
     model = state.model
-    p = model.params
-    sh = jnp.concatenate([p.features_dc, p.features_rest], axis=1)
-    K = sh.shape[1]
-    degs = jnp.floor(jnp.sqrt(jnp.arange(K, dtype=jnp.float32))).astype(jnp.int32)
-    sh = jnp.where((degs <= model.sh_degree)[None, :, None], sh, 0.0)
+    means, scales, quats, opac, sh = _activated_params(model)
     out = render(
-        p.means3d,
-        jnp.exp(p.scales),
-        p.quats / jnp.linalg.norm(p.quats, axis=-1, keepdims=True),
-        jax.nn.sigmoid(p.opacities) * model.aux.alive,
-        sh,
+        means, scales, quats, opac, sh,
         camera.cam,
         jnp.asarray(bg),
         sh_degree=model.max_sh_degree,
@@ -282,6 +322,21 @@ def render_camera(state: TrainState, camera: Camera, raster, bg, use_exposure=Fa
         image = apply_exposure(image, state.exposures[camera.exposure_idx])
         image = jnp.clip(image, 0.0, 1.0)
     return image, out
+
+
+def render_custom_cam(state: TrainState, cam, bg, scale_modifier: float = 1.0):
+    """Viewer-path render of an arbitrary CameraParams (train.py:100-108)."""
+    from gaussian_splatting_tpu.ops.rasterize import render
+
+    means, scales, quats, opac, sh = _activated_params(state.model)
+    out = render(
+        means, scales, quats, opac, sh,
+        cam,
+        jnp.asarray(bg),
+        sh_degree=state.model.max_sh_degree,
+        scale_modifier=float(scale_modifier),
+    )
+    return out.image
 
 
 def report_psnr(scene: Scene, state: TrainState, raster, model_cfg, iteration):

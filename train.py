@@ -96,6 +96,8 @@ def main():
     parser.add_argument("--disable_viewer", action="store_true")
     parser.add_argument("--ip", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=6009)
+    parser.add_argument("--profile", type=str, default="",
+                        help="directory for a jax.profiler trace of the hot loop")
     args = parser.parse_args()
     args.save_iterations.append(args.iterations)
 
@@ -115,6 +117,19 @@ def main():
 
     from gaussian_splatting_tpu.train.loop import train
 
+    tb_writer = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        tb_writer = SummaryWriter(args.model_path)
+    except ImportError:
+        print("Tensorboard not available: not logging progress")
+
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
+
     t0 = time.time()
     train(
         model_cfg,
@@ -127,7 +142,14 @@ def main():
         seed=args.seed,
         capacity=args.capacity or None,
         quiet=args.quiet,
+        viewer_ip="" if args.disable_viewer else args.ip,
+        viewer_port=args.port,
+        tb_writer=tb_writer,
     )
+    if args.profile:
+        import jax
+
+        jax.profiler.stop_trace()
     print(f"\nTraining complete in {time.time() - t0:.0f}s.")
 
 
