@@ -98,13 +98,38 @@ def load_camera(
     exposure_idx: int = 0,
 ) -> Camera:
     """Load pixels + build matrices (Camera.__init__, scene/cameras.py:20-89)."""
-    from PIL import Image
+    arr = None
+    try:
+        # native decode+resize path (C++, GIL released — overlaps TPU compute)
+        from gaussian_splatting_tpu import native
 
-    pil = Image.open(info.image_path)
-    w, h = _resolve_size(pil.width, pil.height, resolution, resolution_scale)
-    has_alpha = pil.mode in ("RGBA", "LA")
-    pil = pil.resize((w, h), Image.LANCZOS)
-    arr = np.asarray(pil.convert("RGBA" if has_alpha else "RGB"), np.float32) / 255.0
+        if native.available():
+            raw = native.decode_image(info.image_path)
+            if raw.dtype == np.uint8 and raw.ndim == 3:
+                ih, iw = raw.shape[:2]
+                w, h = _resolve_size(iw, ih, resolution, resolution_scale)
+                has_alpha = raw.shape[2] == 4
+                if raw.shape[2] == 2:  # gray+alpha: expand to RGBA
+                    raw = np.stack(
+                        [raw[..., 0]] * 3 + [raw[..., 1]], axis=-1
+                    )
+                    has_alpha = True
+                elif raw.shape[2] == 1:
+                    raw = np.repeat(raw, 3, axis=-1)
+                if (w, h) != (iw, ih):
+                    raw = native.resize_bilinear(raw, h, w)
+                arr = raw.astype(np.float32) / 255.0
+    except Exception:
+        arr = None
+
+    if arr is None:
+        from PIL import Image
+
+        pil = Image.open(info.image_path)
+        w, h = _resolve_size(pil.width, pil.height, resolution, resolution_scale)
+        has_alpha = pil.mode in ("RGBA", "LA")
+        pil = pil.resize((w, h), Image.LANCZOS)
+        arr = np.asarray(pil.convert("RGBA" if has_alpha else "RGB"), np.float32) / 255.0
 
     alpha = None
     if has_alpha:
@@ -127,6 +152,7 @@ def load_camera(
     depth_mask = None
     if info.depth_path:
         import cv2
+        from PIL import Image
 
         raw = cv2.imread(info.depth_path, cv2.IMREAD_UNCHANGED).astype(np.float32)
         if raw.ndim > 2:

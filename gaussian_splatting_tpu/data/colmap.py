@@ -257,8 +257,21 @@ def write_points3d_binary(path: str, xyz: np.ndarray, rgb: np.ndarray) -> None:
 
 def load_sparse_model(sparse_dir: str):
     """Load (cameras, images, points) with bin -> txt fallback
-    (scene/dataset_readers.py:146-155)."""
+    (scene/dataset_readers.py:146-155).  Binary parsing prefers the native
+    C++ runtime (gaussian_splatting_tpu.native) when it is available."""
     if os.path.exists(os.path.join(sparse_dir, "cameras.bin")):
+        try:
+            from gaussian_splatting_tpu import native
+
+            if not native.available():
+                raise RuntimeError
+            cams = native.read_cameras_binary(os.path.join(sparse_dir, "cameras.bin"))
+            imgs = native.read_images_binary(os.path.join(sparse_dir, "images.bin"))
+            pts_bin = os.path.join(sparse_dir, "points3D.bin")
+            if os.path.exists(pts_bin):
+                return cams, imgs, native.read_points3d_binary(pts_bin)
+        except Exception:
+            pass
         cams = read_cameras_binary(os.path.join(sparse_dir, "cameras.bin"))
         imgs = read_images_binary(os.path.join(sparse_dir, "images.bin"))
     else:
