@@ -3,17 +3,35 @@
 The reference builds a 64-bit (tileID << 32 | float-bits-of-depth) key per
 (Gaussian, overlapped tile) pair, radix-sorts, and scans for tile boundaries
 (``duplicateWithKeys``/``identifyTileRanges``, rasterizer_impl.cu:78-164,
-309-350).  TPU-native redesign:
+309-350).  TPU-native redesign, shaped by measured XLA-on-TPU costs:
 
 - The dynamic instance count (the reference's device->host ``num_rendered``
   sync, rasterizer_impl.cu:313) is replaced by a **fixed-capacity** instance
   buffer plus an overflow flag; the caller grows capacity between steps.
-- Instance expansion is *gather*-based instead of scatter: each instance slot
-  binary-searches the exclusive-cumsum of ``tiles_touched`` for its source
-  Gaussian — no scatter, no atomics, fully vectorized.
+- Instance expansion is *gather*-based instead of scatter: slot s belongs to
+  the last Gaussian whose first-instance offset is <= s.  That mapping is a
+  scatter of ones at the offsets followed by a cumsum — orders of magnitude
+  cheaper on TPU than the equivalent ``searchsorted`` (binary search is
+  serial per query; the scan is one bandwidth-bound pass).
+- All per-slot Gaussian attributes arrive via ONE row gather from a packed
+  (P, 8) float table: XLA row gathers move whole 32-byte rows at bandwidth,
+  while N separate 1-D gathers each pay the full latency-bound pass.
 - The 64-bit radix sort becomes a two-key lexicographic ``jax.lax.sort`` on
   (tile_id, depth); depths are positive so float ordering == bit ordering.
-- Tile ranges come from two ``searchsorted`` calls over the sorted tile ids.
+- Tile ranges come from two ``searchsorted`` calls with only num_tiles
+  queries (cheap — query count, not array size, is what matters).
+
+The instance list is laid out *chunk-aligned*: every tile's range starts at
+a multiple of ``chunk`` so the Pallas kernels' DMA slices are 128-lane
+aligned (slots between a tile's true end and its aligned end hold
+``gaussian_ids == -1``).
+
+``pos_expansion`` maps each *expansion-order* slot (Gaussian-major, i.e.
+instances of one Gaussian are contiguous) to its final aligned slot.  The
+rasterizer's meta-gather VJP uses it to reduce per-instance gradients onto
+Gaussians with a cumsum + segment-boundary differences instead of a
+scatter-add (atomicAdd's role in backward.cu:592-609) — deterministic and
+~3x faster than XLA's scatter on TPU.
 
 Everything here is non-differentiable bookkeeping; callers pass
 ``stop_gradient``-ed projections.
@@ -28,20 +46,19 @@ import jax.numpy as jnp
 
 from gaussian_splatting_tpu.ops.preprocess import ProjectedGaussians
 
+# f32 carries integers exactly up to 2^24; offsets/capacities must stay below.
+MAX_CAPACITY = 1 << 24
+
 
 class BinnedInstances(NamedTuple):
-    """Sorted (tile, depth) instance list + per-tile ranges.
-
-    The instance list is laid out *chunk-aligned*: every tile's range starts
-    at a multiple of ``chunk`` (slots between a tile's true end and its
-    aligned end hold ``gaussian_ids == -1``).  This guarantees the Pallas
-    kernels' DMA slices are 128-lane aligned — a Mosaic requirement — and
-    makes every instance DMA a full aligned block.
-    """
+    """Sorted (tile, depth) instance list + per-tile ranges (see module doc)."""
 
     gaussian_ids: jnp.ndarray  # (aligned_capacity,) int32, -1 = padding
     tile_starts: jnp.ndarray  # (num_tiles,) int32, multiples of chunk
     tile_ends: jnp.ndarray  # (num_tiles,) int32 — start + true count
+    pos_expansion: jnp.ndarray  # (capacity,) int32 expansion slot -> aligned slot
+    seg_starts: jnp.ndarray  # (P,) int32 expansion-segment start per Gaussian
+    seg_ends: jnp.ndarray  # (P,) int32 expansion-segment end (clamped)
     num_instances: jnp.ndarray  # () int32 actual (unaligned) instance count
     total_aligned: jnp.ndarray  # () int32 — end of the written region
     overflow: jnp.ndarray  # () bool — capacity exceeded, results truncated
@@ -61,36 +78,56 @@ def bin_gaussians(
     chunk: int = 128,
 ) -> BinnedInstances:
     """Expand Gaussians to per-tile instances and sort by (tile, depth)."""
+    if capacity >= MAX_CAPACITY:
+        raise ValueError(f"instance capacity {capacity} exceeds f32-exact range")
     num_tiles = grid_x * grid_y
+    P = proj.tiles_touched.shape[0]
     tiles_touched = proj.tiles_touched
 
     # Exclusive cumsum of per-Gaussian tile counts: offsets[g] = first
     # instance slot of Gaussian g (rasterizer_impl.cu:309 InclusiveSum).
-    offsets = jnp.cumsum(tiles_touched) - tiles_touched
-    total = offsets[-1] + tiles_touched[-1] if tiles_touched.size else jnp.int32(0)
+    incl = jnp.cumsum(tiles_touched)
+    offsets = incl - tiles_touched
+    total = incl[-1] if tiles_touched.size else jnp.int32(0)
     overflow = total > capacity
 
-    # Gather-based inverse of the reference's duplicateWithKeys scatter
-    # (rasterizer_impl.cu:78-126): slot s belongs to Gaussian
-    # g = searchsorted(offsets, s, 'right') - 1, local tile index s - offsets[g].
+    # slot -> Gaussian: ones at each Gaussian's first slot, inclusive scan.
+    # Zero-touch Gaussians mark the *next* Gaussian's start; the cumsum-1
+    # still resolves to the largest g with offsets[g] <= s, which owns s.
+    marks = jnp.zeros((capacity,), jnp.int32).at[offsets].add(1, mode="drop")
+    g = jnp.cumsum(marks) - 1  # (capacity,)
+
+    # Per-slot attributes in one row gather (f32 table, integers exact).
+    table = jnp.stack(
+        [
+            offsets.astype(jnp.float32),
+            proj.rect_min[:, 0].astype(jnp.float32),
+            proj.rect_min[:, 1].astype(jnp.float32),
+            jnp.maximum(proj.rect_max[:, 0] - proj.rect_min[:, 0], 1).astype(
+                jnp.float32
+            ),
+            jnp.where(proj.valid, proj.depths, jnp.inf),
+            jnp.zeros((P,), jnp.float32),
+            jnp.zeros((P,), jnp.float32),
+            jnp.zeros((P,), jnp.float32),
+        ],
+        axis=1,
+    )  # (P, 8)
+    rows = table[g]  # (capacity, 8)
+
     slots = jnp.arange(capacity, dtype=jnp.int32)
-    g = jnp.searchsorted(offsets, slots, side="right").astype(jnp.int32) - 1
-    g = jnp.clip(g, 0, tiles_touched.shape[0] - 1)
-    local = slots - offsets[g]
     in_range = slots < jnp.minimum(total, capacity)
+    local = slots - rows[:, 0].astype(jnp.int32)
+    safe_w = rows[:, 3].astype(jnp.int32)
+    ty = rows[:, 2].astype(jnp.int32) + local // safe_w
+    tx = rows[:, 1].astype(jnp.int32) + local % safe_w
+    tile = jnp.where(in_range, ty * grid_x + tx, num_tiles)
+    depth = jnp.where(in_range, rows[:, 4], jnp.inf)
 
-    rect_min = proj.rect_min[g]
-    rect_w = proj.rect_max[g, 0] - rect_min[:, 0]
-    safe_w = jnp.maximum(rect_w, 1)
-    ty = rect_min[:, 1] + local // safe_w
-    tx = rect_min[:, 0] + local % safe_w
-    tile = ty * grid_x + tx
-    tile = jnp.where(in_range, tile, num_tiles)
-
-    depth = jnp.where(in_range, proj.depths[g], jnp.inf)
     # Two-key lexicographic sort replaces the packed 64-bit radix sort.
-    sorted_tile, _sorted_depth, sorted_g = jax.lax.sort(
-        (tile, depth, g), num_keys=2, is_stable=True
+    # ``slots`` rides along to recover the expansion -> sorted permutation.
+    sorted_tile, _d, sorted_g, sorted_src = jax.lax.sort(
+        (tile, depth, g, slots), num_keys=2, is_stable=True
     )
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
@@ -98,7 +135,7 @@ def bin_gaussians(
     ends = jnp.searchsorted(sorted_tile, tile_ids, side="right").astype(jnp.int32)
     counts = ends - starts
 
-    # --- chunk-aligned relayout (see class docstring) ---
+    # --- chunk-aligned relayout (see module docstring) ---
     cap_aligned = aligned_capacity(capacity, grid_x, grid_y, chunk)
     aligned_counts = ((counts + chunk - 1) // chunk) * chunk
     aligned_starts = (jnp.cumsum(aligned_counts) - aligned_counts).astype(jnp.int32)
@@ -108,17 +145,33 @@ def bin_gaussians(
         else jnp.int32(0)
     )
 
+    # aligned destination per sorted position: one (num_tiles, 2) row gather
+    tile_table = jnp.stack(
+        [starts.astype(jnp.float32), aligned_starts.astype(jnp.float32)], axis=1
+    )
     slot_tile = jnp.clip(sorted_tile, 0, num_tiles - 1)
-    rank = slots - starts[slot_tile]
-    pos = aligned_starts[slot_tile] + rank
+    trow = tile_table[slot_tile]  # (capacity, 2)
+    rank = slots - trow[:, 0].astype(jnp.int32)
+    pos = trow[:, 1].astype(jnp.int32) + rank
     pos = jnp.where(sorted_tile < num_tiles, pos, cap_aligned)  # drop padding
+
     ids_aligned = jnp.full((cap_aligned,), -1, jnp.int32)
     ids_aligned = ids_aligned.at[pos].set(sorted_g, mode="drop")
+
+    # expansion slot -> aligned slot (for the gradient segment reduction)
+    pos_expansion = jnp.full((capacity,), cap_aligned, jnp.int32)
+    pos_expansion = pos_expansion.at[sorted_src].set(pos, mode="drop")
+
+    seg_starts = jnp.minimum(offsets, capacity).astype(jnp.int32)
+    seg_ends = jnp.minimum(incl, capacity).astype(jnp.int32)
 
     return BinnedInstances(
         gaussian_ids=ids_aligned,
         tile_starts=aligned_starts,
         tile_ends=aligned_starts + counts,
+        pos_expansion=pos_expansion,
+        seg_starts=seg_starts,
+        seg_ends=seg_ends,
         num_instances=jnp.minimum(total, capacity).astype(jnp.int32),
         total_aligned=total_aligned,
         overflow=overflow,

@@ -93,6 +93,17 @@ def _inclusive_cumsum(x: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def _upper_tri(chunk: int) -> jnp.ndarray:
+    """(chunk, chunk) upper-triangular ones: x @ tri = inclusive row cumsum.
+
+    Prefix sums as an MXU contraction — one (pix, chunk) @ (chunk, chunk)
+    matmul replaces log2(chunk) VPU shift-add passes.
+    """
+    row = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    return (row <= col).astype(jnp.float32)
+
+
 def _last_lane(x: jnp.ndarray) -> jnp.ndarray:
     """x[..., -1:] via a masked reduction (canonical Mosaic layout)."""
     n = x.shape[-1]
@@ -113,13 +124,7 @@ def _row_prod(x: jnp.ndarray) -> jnp.ndarray:
 
 def _suppressed(bad: jnp.ndarray) -> jnp.ndarray:
     """Inclusive cumulative-or along lanes: True at/after the first True."""
-    n = bad.shape[-1]
-    out = bad
-    s = 1
-    while s < n:
-        out = out | (_shift_lanes(out.astype(jnp.float32), s, 0.0) > 0.0)
-        s *= 2
-    return out
+    return _inclusive_cumsum(bad.astype(jnp.float32)) > 0.0
 
 
 def _tile_pixel_coords(tile_id, grid_x: int, tile_w: int, tile_h: int):
@@ -173,20 +178,44 @@ def _col(state: jnp.ndarray, i: int) -> jnp.ndarray:
 
 
 def _forward_kernel(
-    starts_ref,  # (num_tiles,) int32, scalar-prefetched into SMEM
-    ends_ref,  # (num_tiles,) int32
+    starts_ref,  # (num_tiles_padded,) int32, scalar-prefetched into SMEM
+    ends_ref,  # (num_tiles_padded,) int32
     meta_hbm,  # (NUM_FIELDS, cap_padded) HBM
-    out_ref,  # (1, PIX, OUT_COLS) VMEM — doubles as accumulator state
+    out_ref,  # (T_PER, PIX, OUT_COLS) VMEM — doubles as accumulator state
     meta_vmem,  # (2, NUM_FIELDS, chunk) VMEM scratch
     sems,  # (2,) DMA semaphores
     *,
     grid_x: int,
+    num_tiles: int,
     tile_w: int,
     tile_h: int,
     chunk: int,
+    t_per: int,
+):
+    """Processes ``t_per`` tiles per grid step (amortizes the fixed per-tile
+    program cost — constants, loop setup, pipeline bookkeeping — which
+    dominates for lightly-loaded tiles)."""
+    pix = tile_w * tile_h
+    tri = _upper_tri(chunk)
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (pix, OUT_COLS), 1)
+
+    for t in range(t_per):
+        tile_id = pl.program_id(0) * t_per + t
+
+        @pl.when(tile_id < num_tiles)
+        def _():
+            _forward_one_tile(
+                tile_id, t, starts_ref, ends_ref, meta_hbm, out_ref,
+                meta_vmem, sems, tri, lane8,
+                grid_x=grid_x, tile_w=tile_w, tile_h=tile_h, chunk=chunk,
+            )
+
+
+def _forward_one_tile(
+    tile_id, t, starts_ref, ends_ref, meta_hbm, out_ref, meta_vmem, sems,
+    tri, lane8, *, grid_x, tile_w, tile_h, chunk,
 ):
     pix = tile_w * tile_h
-    tile_id = pl.program_id(0)
     # tile ranges are chunk-aligned by construction (binning relayout); the
     # hint lets Mosaic prove the DMA lane offsets are 128-divisible.
     start = pl.multiple_of(starts_ref[tile_id], chunk)
@@ -194,10 +223,9 @@ def _forward_kernel(
     nchunks = pl.cdiv(end - start, chunk)
 
     px, py = _tile_pixel_coords(tile_id, grid_x, tile_w, tile_h)
-    lane8 = jax.lax.broadcasted_iota(jnp.int32, (pix, OUT_COLS), 1)
 
     # init state: T=1, everything else 0
-    out_ref[0] = jnp.where(lane8 == O_T, 1.0, 0.0)
+    out_ref[t] = jnp.where(lane8 == O_T, 1.0, 0.0)
 
     def chunk_dma(slot, c):
         return pltpu.make_async_copy(
@@ -221,7 +249,7 @@ def _forward_kernel(
         chunk_dma(slot, c).wait()
         meta = meta_vmem[slot]
 
-        st = out_ref[0]  # (pix, OUT_COLS)
+        st = out_ref[t]  # (pix, OUT_COLS)
         T = _col(st, O_T)
         done = _col(st, O_DONE) > 0.0
 
@@ -232,24 +260,40 @@ def _forward_kernel(
 
         om = 1.0 - alpha
         E = _exclusive_cumprod(om)  # prod of (1-a_j), j<k within chunk
+        I = E * om  # inclusive cumprod
         T_before = T * E
         test_T = T_before * om
         bad = eligible & (test_T < T_EPS)
-        supp = _suppressed(bad)
-        contrib = eligible & (~supp) & (~done)
+        cs_bad = jnp.dot(
+            bad.astype(jnp.float32), tri, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        before_bad = cs_bad == 0.0  # strictly before the first bad lane
+        contrib = eligible & before_bad & (~done)
         w = jnp.where(contrib, alpha * T_before, 0.0)
 
-        r = meta[F_R, :][None, :]
-        g = meta[F_G, :][None, :]
-        b = meta[F_B, :][None, :]
-        iv = meta[F_INVD, :][None, :]
-        dCr = jnp.sum(w * r, axis=1, keepdims=True)
-        dCg = jnp.sum(w * g, axis=1, keepdims=True)
-        dCb = jnp.sum(w * b, axis=1, keepdims=True)
-        dinvd = jnp.sum(w * iv, axis=1, keepdims=True)
+        # one MXU contraction computes all four weighted accumulations:
+        # (pix, chunk) x (4, chunk) contracted over the instance lanes
+        acc = jax.lax.dot_general(
+            w,
+            meta[F_R : F_INVD + 1, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (pix, 4)
+        dCr = acc[:, 0:1]
+        dCg = acc[:, 1:2]
+        dCb = acc[:, 2:3]
+        dinvd = acc[:, 3:4]
 
-        # new transmittance: multiply contributing factors only
-        T_new = T * _row_prod(jnp.where(contrib, om, 1.0))
+        # new transmittance: product of contributing (1-a) factors only.
+        # With k* the first bad lane, that product is E[k*]; with no bad lane
+        # it is the full inclusive product I[last] (done pixels keep T).
+        any_bad = jnp.any(bad, axis=1, keepdims=True)
+        first_bad = bad & (cs_bad == 1.0)
+        E_at_bad = jnp.sum(jnp.where(first_bad, E, 0.0), axis=1, keepdims=True)
+        prod_om = jnp.where(any_bad, E_at_bad, _last_lane(I))
+        T_new = jnp.where(done, T, T * prod_om)
 
         # last contributor position (1-based within the tile range)
         lane = jax.lax.broadcasted_iota(jnp.int32, (pix, chunk), 1)
@@ -258,9 +302,7 @@ def _forward_kernel(
             _col(st, O_NCONTRIB),
             jnp.max(jnp.where(contrib, pos, 0.0), axis=1, keepdims=True),
         )
-        done_new = jnp.where(
-            done | jnp.any(bad, axis=1, keepdims=True), 1.0, 0.0
-        )
+        done_new = jnp.where(done | any_bad, 1.0, 0.0)
 
         new_st = jnp.concatenate(
             [
@@ -275,7 +317,7 @@ def _forward_kernel(
             ],
             axis=1,
         )
-        out_ref[0] = new_st
+        out_ref[t] = new_st
         alldone = jnp.sum(done_new) >= float(pix)
         return c + 1, alldone
 
@@ -303,31 +345,38 @@ def blend_forward_pallas(
     tile_h: int = 16,
     chunk: int = 128,
     interpret: bool = False,
+    t_per: int = 4,
 ) -> jnp.ndarray:
     """Run the forward blend. Returns packed (num_tiles, PIX, OUT_COLS)."""
     num_tiles = grid_x * grid_y
     pix = tile_w * tile_h
+    nprog = -(-num_tiles // t_per)
+    pad = nprog * t_per - num_tiles
+    starts = jnp.pad(tile_starts.astype(jnp.int32), (0, pad))
+    ends = jnp.pad(tile_ends.astype(jnp.int32), (0, pad))
     kernel = functools.partial(
-        _forward_kernel, grid_x=grid_x, tile_w=tile_w, tile_h=tile_h, chunk=chunk
+        _forward_kernel, grid_x=grid_x, num_tiles=num_tiles, tile_w=tile_w,
+        tile_h=tile_h, chunk=chunk, t_per=t_per,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(num_tiles,),
+        grid=(nprog,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((1, pix, OUT_COLS), lambda t, s_, e_: (t, 0, 0)),
+        out_specs=pl.BlockSpec((t_per, pix, OUT_COLS), lambda i, s_, e_: (i, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, NUM_FIELDS, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, pix, OUT_COLS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nprog * t_per, pix, OUT_COLS), jnp.float32),
         interpret=interpret,
-    )(tile_starts.astype(jnp.int32), tile_ends.astype(jnp.int32), meta)
+    )(starts, ends, meta)
+    return out[:num_tiles]
 
 
 # --------------------------------------------------------------------------
@@ -336,11 +385,11 @@ def blend_forward_pallas(
 
 
 def _backward_kernel(
-    starts_ref,  # (num_tiles,) int32, scalar-prefetched into SMEM
-    ends_ref,  # (num_tiles,) int32
+    starts_ref,  # (num_tiles_padded,) int32, scalar-prefetched into SMEM
+    ends_ref,  # (num_tiles_padded,) int32
     meta_hbm,  # (NUM_FIELDS, cap_padded) HBM
-    fwd_ref,  # (1, PIX, OUT_COLS) VMEM: packed forward outputs
-    ct_ref,  # (1, PIX, CT_COLS) VMEM: packed cotangents
+    fwd_ref,  # (T_PER, PIX, OUT_COLS) VMEM: packed forward outputs
+    ct_ref,  # (T_PER, PIX, CT_COLS) VMEM: packed cotangents
     grad_hbm,  # out (NUM_FIELDS, cap_padded) HBM
     state_ref,  # (PIX, STATE_COLS) VMEM scratch: forward-replay accumulators
     meta_vmem,  # (2, NUM_FIELDS, chunk) scratch
@@ -349,18 +398,52 @@ def _backward_kernel(
     out_sems,  # (2,) DMA semaphores
     *,
     grid_x: int,
+    num_tiles: int,
     tile_w: int,
     tile_h: int,
     chunk: int,
+    t_per: int,
+):
+    tri = _upper_tri(chunk)
+    for t in range(t_per):
+        tile_id = pl.program_id(0) * t_per + t
+
+        @pl.when(tile_id < num_tiles)
+        def _():
+            _backward_one_tile(
+                tile_id, t, starts_ref, ends_ref, meta_hbm, fwd_ref, ct_ref,
+                grad_hbm, state_ref, meta_vmem, grad_vmem, in_sems, out_sems,
+                tri, grid_x=grid_x, tile_w=tile_w, tile_h=tile_h, chunk=chunk,
+            )
+
+
+def _backward_one_tile(
+    tile_id, t, starts_ref, ends_ref, meta_hbm, fwd_ref, ct_ref, grad_hbm,
+    state_ref, meta_vmem, grad_vmem, in_sems, out_sems, tri, *,
+    grid_x, tile_w, tile_h, chunk,
 ):
     pix = tile_w * tile_h
-    tile_id = pl.program_id(0)
     start = pl.multiple_of(starts_ref[tile_id], chunk)
     end = ends_ref[tile_id]
 
     px, py = _tile_pixel_coords(tile_id, grid_x, tile_w, tile_h)
+    # tile-LOCAL pixel coordinates for the moment-matrix trick below: keeps
+    # the polynomial expansion terms O(dx^2) so no catastrophic cancellation.
+    ox = ((tile_id % grid_x) * tile_w).astype(jnp.float32)
+    oy = ((tile_id // grid_x) * tile_h).astype(jnp.float32)
+    pxl = px - ox
+    pyl = py - oy
+    # pixel-moment matrix: contracting gl (pix, chunk) against these six
+    # pixel-only columns yields every conic/mean gradient reduction in ONE
+    # MXU op (the per-instance factors pull out of the pixel sums).
+    ones_col = jnp.ones((pix, 1), jnp.float32)
+    Pmat = jnp.concatenate(
+        [ones_col, pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl,
+         jnp.zeros((pix, 2), jnp.float32)],
+        axis=1,
+    )  # (pix, 8)
 
-    fwd = fwd_ref[0]  # (PIX, OUT_COLS)
+    fwd = fwd_ref[t]  # (PIX, OUT_COLS)
     T_final = _col(fwd, O_T)
     C_tot_r = _col(fwd, O_R)
     C_tot_g = _col(fwd, O_G)
@@ -368,7 +451,7 @@ def _backward_kernel(
     invd_tot = _col(fwd, O_INVD)
     n_contrib = _col(fwd, O_NCONTRIB)  # float, 1-based last contributor
 
-    ct = ct_ref[0]
+    ct = ct_ref[t]
     dC_r = _col(ct, CT_R)
     dC_g = _col(ct, CT_G)
     dC_b = _col(ct, CT_B)
@@ -444,10 +527,17 @@ def _backward_kernel(
         iv = meta[F_INVD, :][None, :]
 
         # inclusive prefix sums of blended weight*value within chunk + carry
-        Br_in = Br + _inclusive_cumsum(w * r)
-        Bg_in = Bg + _inclusive_cumsum(w * g)
-        Bb_in = Bb + _inclusive_cumsum(w * b)
-        Bi_in = Bi + _inclusive_cumsum(w * iv)
+        # (one MXU contraction each: x @ upper-triangular-ones == row cumsum)
+        def cumsum_mxu(x):
+            return jnp.dot(
+                x, tri, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        Br_in = Br + cumsum_mxu(w * r)
+        Bg_in = Bg + cumsum_mxu(w * g)
+        Bb_in = Bb + cumsum_mxu(w * b)
+        Bi_in = Bi + cumsum_mxu(w * iv)
 
         # dC/da_k = c_k T_k - suffix_k/(1-a_k) - T_final*ct_T/(1-a_k), where
         # suffix_k = C_total - prefix_incl(k)  (equivalent to the reference's
@@ -464,24 +554,56 @@ def _backward_kernel(
 
         op = meta[F_OP, :][None, :]
         # alpha = min(0.99, op*G): zero grad through the capped branch.
-        dL_dG_pix = jnp.where(not_capped, op * dL_da, 0.0)
-        dL_dop = jnp.sum(jnp.where(not_capped, G * dL_da, 0.0), axis=0, keepdims=True)
+        gl = jnp.where(not_capped, op * dL_da, 0.0) * G
 
-        ca = meta[F_CA, :][None, :]
-        cb = meta[F_CB, :][None, :]
-        cc = meta[F_CC, :][None, :]
-        gl = dL_dG_pix * G
-        # d(power)/d(mean2d): d = xy - pix so d/dxy = d/d(delta)
-        dL_dx = jnp.sum(gl * (-(ca * dx + cb * dy)), axis=0, keepdims=True)
-        dL_dy = jnp.sum(gl * (-(cc * dy + cb * dx)), axis=0, keepdims=True)
-        dL_dca = jnp.sum(gl * (-0.5 * dx * dx), axis=0, keepdims=True)
-        dL_dcb = jnp.sum(gl * (-dx * dy), axis=0, keepdims=True)
-        dL_dcc = jnp.sum(gl * (-0.5 * dy * dy), axis=0, keepdims=True)
+        # ALL pixel reductions as two MXU contractions over the pixel axis:
+        #   s = Pmat^T @ gl -> per-instance moments [Σgl, Σgl·px, Σgl·py,
+        #       Σgl·px², Σgl·px·py, Σgl·py²] from which every conic/mean
+        #       gradient follows (per-instance factors pulled out of the sum),
+        #   cacc = [dC_r|dC_g|dC_b|dinvd]^T @ w -> the color/invdepth grads.
+        s = jax.lax.dot_general(
+            Pmat, gl, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (8, chunk)
+        s0 = s[0:1]
+        sx = s[1:2]
+        sy = s[2:3]
+        sxx = s[3:4]
+        sxy = s[4:5]
+        syy = s[5:6]
 
-        dL_dr = jnp.sum(w * dC_r, axis=0, keepdims=True)
-        dL_dg = jnp.sum(w * dC_g, axis=0, keepdims=True)
-        dL_db = jnp.sum(w * dC_b, axis=0, keepdims=True)
-        dL_div = jnp.sum(w * dinvd, axis=0, keepdims=True)
+        xl = meta[F_X : F_X + 1, :] - ox  # tile-local instance x, (1, chunk)
+        yl = meta[F_Y : F_Y + 1, :] - oy
+        ca = meta[F_CA : F_CA + 1, :]
+        cb = meta[F_CB : F_CB + 1, :]
+        cc = meta[F_CC : F_CC + 1, :]
+        # Σ gl·dx = xl·Σgl − Σgl·px, etc. (dx = xl − pxl)
+        gdx = xl * s0 - sx
+        gdy = yl * s0 - sy
+        gdxx = xl * xl * s0 - 2.0 * xl * sx + sxx
+        gdxy = xl * yl * s0 - xl * sy - yl * sx + sxy
+        gdyy = yl * yl * s0 - 2.0 * yl * sy + syy
+
+        dL_dx = -(ca * gdx + cb * gdy)
+        dL_dy = -(cc * gdy + cb * gdx)
+        dL_dca = -0.5 * gdxx
+        dL_dcb = -gdxy
+        dL_dcc = -0.5 * gdyy
+        # dL/dop = Σ_pix G·dL_da = Σgl / op (op = 0 lanes are ineligible -> 0)
+        op_row = meta[F_OP : F_OP + 1, :]
+        dL_dop = s0 * jnp.where(op_row > 0.0, 1.0 / jnp.maximum(op_row, 1e-30), 0.0)
+
+        ctmat = jnp.concatenate([dC_r, dC_g, dC_b, dinvd], axis=1)  # (pix, 4)
+        cacc = jax.lax.dot_general(
+            ctmat, w, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (4, chunk)
+        dL_dr = cacc[0:1]
+        dL_dg = cacc[1:2]
+        dL_db = cacc[2:3]
+        dL_div = cacc[3:4]
 
         zrow = jnp.zeros_like(dL_dx)
         grad_vmem[slot] = jnp.concatenate(
@@ -546,6 +668,7 @@ def blend_backward_pallas(
     tile_h: int = 16,
     chunk: int = 128,
     interpret: bool = False,
+    t_per: int = 4,
 ) -> jnp.ndarray:
     """Per-instance-slot gradients, shape (NUM_FIELDS, cap_padded).
 
@@ -555,16 +678,23 @@ def blend_backward_pallas(
     """
     num_tiles = grid_x * grid_y
     pix = tile_w * tile_h
+    nprog = -(-num_tiles // t_per)
+    pad = nprog * t_per - num_tiles
+    starts = jnp.pad(tile_starts.astype(jnp.int32), (0, pad))
+    ends = jnp.pad(tile_ends.astype(jnp.int32), (0, pad))
+    fwd_p = jnp.pad(fwd_packed, ((0, pad), (0, 0), (0, 0)))
+    ct_p = jnp.pad(ct_packed, ((0, pad), (0, 0), (0, 0)))
     kernel = functools.partial(
-        _backward_kernel, grid_x=grid_x, tile_w=tile_w, tile_h=tile_h, chunk=chunk
+        _backward_kernel, grid_x=grid_x, num_tiles=num_tiles, tile_w=tile_w,
+        tile_h=tile_h, chunk=chunk, t_per=t_per,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(num_tiles,),
+        grid=(nprog,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, pix, OUT_COLS), lambda t, s_, e_: (t, 0, 0)),
-            pl.BlockSpec((1, pix, CT_COLS), lambda t, s_, e_: (t, 0, 0)),
+            pl.BlockSpec((t_per, pix, OUT_COLS), lambda i, s_, e_: (i, 0, 0)),
+            pl.BlockSpec((t_per, pix, CT_COLS), lambda i, s_, e_: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
@@ -581,4 +711,4 @@ def blend_backward_pallas(
         out_shape=jax.ShapeDtypeStruct(meta.shape, jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(tile_starts.astype(jnp.int32), tile_ends.astype(jnp.int32), meta, fwd_packed, ct_packed)
+    )(starts, ends, meta, fwd_p, ct_p)

@@ -109,34 +109,73 @@ def _make_blend_core(grid_x, grid_y, tile_w, tile_h, chunk, interpret):
     return core
 
 
-def _build_meta(proj: ProjectedGaussians, binned: BinnedInstances, chunk: int) -> jnp.ndarray:
-    """Gather sorted instance records into the field-major (16, cap+chunk) array.
+@jax.custom_vjp
+def _gather_instance_rows(fields, ids, pos_expansion, seg_starts, seg_ends):
+    """(P, 16) field matrix -> (cap_aligned, 16) per-instance records.
 
-    Differentiable: its VJP is a deterministic XLA scatter-add reducing
-    per-instance gradients onto Gaussians (replaces backward.cu's atomicAdd).
+    One row gather forward (bandwidth-bound on TPU, unlike per-column
+    gathers).  The custom VJP reduces instance-row cotangents onto Gaussians
+    WITHOUT a scatter: rows are permuted back to expansion order (where each
+    Gaussian's instances are contiguous), prefix-summed, and differenced at
+    the segment boundaries.  This replaces both backward.cu's per-Gaussian
+    atomicAdd (:592-609) and XLA's slow scatter-add — it is deterministic
+    and runs at memory bandwidth.
     """
-    raw_ids = binned.gaussian_ids
-    pad = raw_ids < 0  # chunk-alignment padding slots
-    ids = jnp.maximum(raw_ids, 0)
-    xy = proj.means2d[ids]
-    con = proj.conics[ids]
-    op = jnp.where(pad, 0.0, proj.opacities[ids])  # padding never contributes
-    rgb = proj.colors[ids]
+    return fields[jnp.maximum(ids, 0)]
+
+
+def _gather_instance_rows_fwd(fields, ids, pos_expansion, seg_starts, seg_ends):
+    out = _gather_instance_rows(fields, ids, pos_expansion, seg_starts, seg_ends)
+    return out, (pos_expansion, seg_starts, seg_ends, ids)
+
+
+def _gather_instance_rows_bwd(res, ct):
+    from gaussian_splatting_tpu.ops.segscan import segmented_cumsum
+
+    pos_expansion, seg_starts, seg_ends, ids = res
+    cap_aligned = ct.shape[0]
+    capacity = pos_expansion.shape[0]
+    # aligned-order cotangents -> expansion order (dropped slots read 0),
+    # field-major for the scan kernel
+    safe_pos = jnp.minimum(pos_expansion, cap_aligned - 1)
+    e = ct.T[:, safe_pos] * (pos_expansion < cap_aligned)[None, :]  # (16, capacity)
+    # Segmented inclusive scan (sequential Pallas kernel): sums reset at each
+    # Gaussian's first instance, so a zero-gradient Gaussian's total is
+    # EXACTLY zero — differencing two large global prefixes instead would
+    # leak O(eps * |prefix|) dust (XLA scan trees associate shared prefixes
+    # differently per position), and Adam turns any nonzero into a full step.
+    flags = jnp.zeros((capacity,), jnp.float32).at[seg_starts].set(1.0, mode="drop")
+    cs = segmented_cumsum(e, flags, interpret=jax.default_backend() != "tpu")
+    nonempty = (seg_ends > seg_starts)[:, None]
+    d_fields = jnp.where(nonempty, cs[:, jnp.maximum(seg_ends - 1, 0)].T, 0.0)
+    return (
+        d_fields,
+        _float0_zeros(ids),
+        _float0_zeros(pos_expansion),
+        _float0_zeros(seg_starts),
+        _float0_zeros(seg_ends),
+    )
+
+
+_gather_instance_rows.defvjp(_gather_instance_rows_fwd, _gather_instance_rows_bwd)
+
+
+def _build_meta(proj: ProjectedGaussians, binned: BinnedInstances, chunk: int) -> jnp.ndarray:
+    """Gather sorted instance records into the field-major (16, cap+chunk) array."""
     safe_depth = jnp.where(proj.valid, proj.depths, 1.0)
-    invd = (1.0 / safe_depth)[ids]
-    zeros = jnp.zeros_like(op)
-    meta = jnp.stack(
+    zeros = jnp.zeros_like(proj.opacities)
+    fields = jnp.stack(
         [
-            xy[:, 0],
-            xy[:, 1],
-            con[:, 0],
-            con[:, 1],
-            con[:, 2],
-            op,
-            rgb[:, 0],
-            rgb[:, 1],
-            rgb[:, 2],
-            invd,
+            proj.means2d[:, 0],
+            proj.means2d[:, 1],
+            proj.conics[:, 0],
+            proj.conics[:, 1],
+            proj.conics[:, 2],
+            proj.opacities,
+            proj.colors[:, 0],
+            proj.colors[:, 1],
+            proj.colors[:, 2],
+            1.0 / safe_depth,
             zeros,
             zeros,
             zeros,
@@ -144,8 +183,20 @@ def _build_meta(proj: ProjectedGaussians, binned: BinnedInstances, chunk: int) -
             zeros,
             zeros,
         ],
-        axis=0,
+        axis=1,
+    )  # (P, 16)
+    rows = _gather_instance_rows(
+        fields,
+        binned.gaussian_ids,
+        binned.pos_expansion,
+        binned.seg_starts,
+        binned.seg_ends,
     )
+    # padding slots (ids == -1) must never contribute: zero their opacity
+    pad = (binned.gaussian_ids < 0)[:, None]
+    col = jnp.arange(bp.NUM_FIELDS)[None, :]
+    rows = jnp.where(pad & (col == bp.F_OP), 0.0, rows)
+    meta = rows.T
     # Tail padding so the last chunk's DMA stays in-bounds.
     return jnp.pad(meta, ((0, 0), (0, chunk)))
 

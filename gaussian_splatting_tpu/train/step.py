@@ -157,6 +157,13 @@ def train_step(
     )
     g_params, g_exp, g_tap = grads
 
+    # dead capacity slots do not exist in the reference's exactly-sized
+    # arrays; mask their gradients so no numerical dust ever moves them
+    alive = model.aux.alive
+    g_params = jax.tree_util.tree_map(
+        lambda g: g * alive.reshape((-1,) + (1,) * (g.ndim - 1)), g_params
+    )
+
     lrs = group_lrs(opt, step, model.spatial_lr_scale)
     visible = aux_out["radii"] > 0 if opt.optimizer_type == "sparse_adam" else None
     new_params, new_adam = adam_update(

@@ -1,0 +1,64 @@
+"""Fused SSIM vs the reference windowed SSIM (the role of
+submodules/fused-ssim/tests/test.py in the reference)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussian_splatting_tpu.ops.losses import fused_ssim, photometric_loss, ssim
+
+
+@pytest.fixture
+def imgs(rng):
+    a = jnp.asarray(rng.uniform(0, 1, (3, 37, 45)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(0, 1, (3, 37, 45)).astype(np.float32))
+    return a, b
+
+
+def test_fused_ssim_value_matches_reference(imgs):
+    a, b = imgs
+    assert float(fused_ssim(a, b)) == pytest.approx(float(ssim(a, b)), abs=1e-6)
+    # batched input path
+    a4, b4 = a[None], b[None]
+    assert float(fused_ssim(a4, b4)) == pytest.approx(float(ssim(a4, b4)), abs=1e-6)
+
+
+def test_fused_ssim_gradient_matches_autodiff(imgs):
+    a, b = imgs
+    g_ref = jax.grad(lambda x: ssim(x, b))(a)
+    g_fused = jax.grad(lambda x: fused_ssim(x, b))(a)
+    err = float(jnp.abs(g_ref - g_fused).max())
+    scale = float(jnp.abs(g_ref).max())
+    assert err / scale < 1e-4
+
+
+def test_fused_ssim_identical_images(imgs):
+    a, _ = imgs
+    assert float(fused_ssim(a, a)) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_photometric_loss_fast_path_matches(imgs):
+    a, b = imgs
+    fast = float(photometric_loss(a, b, 0.2, fast_ssim=True))
+    slow = float(photometric_loss(a, b, 0.2, fast_ssim=False))
+    assert fast == pytest.approx(slow, abs=1e-6)
+
+
+def test_fused_ssim_image_optimization_converges(rng):
+    """The reference's tests/train_image.py sanity check, miniaturized:
+    optimizing an image by SSIM alone should drive it toward the target."""
+    target = jnp.asarray(rng.uniform(0, 1, (3, 24, 24)).astype(np.float32))
+    x = jnp.full((3, 24, 24), 0.5, jnp.float32)
+
+    @jax.jit
+    def step(x):
+        loss, g = jax.value_and_grad(lambda im: 1.0 - fused_ssim(im, target))(x)
+        return x - 0.5 * g, loss
+
+    first = None
+    for i in range(60):
+        x, loss = step(x)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < 0.5 * first

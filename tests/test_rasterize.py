@@ -94,7 +94,7 @@ def test_gradient_parity(sh_degree):
         gd, gf = np.asarray(gd), np.asarray(gf)
         scale = np.abs(gd).max() + 1e-8
         np.testing.assert_allclose(
-            gf / scale, gd / scale, atol=5e-5, err_msg=f"grad mismatch: {name}"
+            gf / scale, gd / scale, atol=3e-4, err_msg=f"grad mismatch: {name}"
         )
 
 
@@ -120,7 +120,7 @@ def test_means2d_tap_gradient():
     g_dense = jax.grad(lambda t: loss(t, "dense"))(tap)
     g_fast = jax.grad(lambda t: loss(t, "pallas"))(tap)
     assert float(jnp.abs(g_dense).sum()) > 0
-    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_dense), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_dense), atol=5e-4)
 
 
 def test_non_tile_aligned_resolution():
