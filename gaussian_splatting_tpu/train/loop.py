@@ -64,6 +64,41 @@ def make_batch(camera: Camera, bg_color: np.ndarray) -> StepBatch:
     )
 
 
+def estimate_instance_slack(state, cams, raster, num_probe: int = 4) -> float:
+    """Measure per-camera tile-instance demand (sum of tiles_touched) on a few
+    cameras and return the slack factor that fits the worst with 2x headroom
+    (densification keeps raising demand between estimates)."""
+    import jax
+
+    from gaussian_splatting_tpu.ops.preprocess import preprocess
+
+    model = state.model
+    p = model.params
+
+    @partial(jax.jit, static_argnames=("w", "h"))
+    def demand(params, alive, cam, w, h):
+        sh = jnp.concatenate([params.features_dc, params.features_rest], axis=1)
+        proj = preprocess(
+            params.means3d,
+            jnp.exp(params.scales),
+            params.quats / jnp.linalg.norm(params.quats, axis=-1, keepdims=True),
+            jax.nn.sigmoid(params.opacities) * alive,
+            sh,
+            cam,
+            sh_degree=model.max_sh_degree,
+        )
+        return jnp.sum(proj.tiles_touched)
+
+    worst = 0
+    step = max(1, len(cams) // num_probe)
+    for cam in cams[::step][:num_probe]:
+        worst = max(
+            worst,
+            int(demand(p, model.aux.alive, cam.cam, cam.cam.width, cam.cam.height)),
+        )
+    return max(float(raster.instance_slack), 2.0 * worst / max(model.capacity, 1))
+
+
 def grow_train_state(state: TrainState, new_capacity: int) -> TrainState:
     """Host-side capacity bump for model + optimizer moments."""
     old_cap = state.model.capacity
@@ -118,6 +153,16 @@ def train(
     random.seed(seed)
     np.random.seed(seed)
 
+    # persist the run config next to the model (reference train.py:317-320;
+    # render.py/metrics.py re-read it like get_combined_args)
+    if model_cfg.model_path:
+        from gaussian_splatting_tpu.config import save_config
+
+        os.makedirs(model_cfg.model_path, exist_ok=True)
+        cfg_path = os.path.join(model_cfg.model_path, "cfg_args.json")
+        if not os.path.exists(cfg_path):
+            save_config(model_cfg, cfg_path)
+
     scene = Scene(model_cfg, capacity=capacity)
     train_cams = scene.get_train_cameras()
     use_depth = any(c.invdepth is not None for c in train_cams)
@@ -130,6 +175,15 @@ def train(
     if start_checkpoint:
         state, first_iter = load_checkpoint(start_checkpoint)
         print(f"Resumed from {start_checkpoint} at iteration {first_iter}")
+
+    # Pre-size the instance buffer: measure actual tile-instance demand on a
+    # few cameras so the first steps don't overflow (each overflow retry is a
+    # full recompile).  The reference reads the exact count back per step
+    # (rasterizer_impl.cu:313); we size statically with headroom instead.
+    est = estimate_instance_slack(state, train_cams, raster_holder[0])
+    if est > raster_holder[0].instance_slack:
+        print(f"[init] instance_slack {raster_holder[0].instance_slack} -> {est:.1f}")
+        raster_holder[0] = dataclasses.replace(raster_holder[0], instance_slack=est)
 
     bg = (
         np.array([1.0, 1.0, 1.0], np.float32)
