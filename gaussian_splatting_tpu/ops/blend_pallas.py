@@ -517,7 +517,17 @@ def _backward_one_tile(
         a = jnp.where(contrib, alpha, 0.0)
 
         om = 1.0 - a
-        E = _exclusive_cumprod(om)
+        # exclusive cumprod via exp(cumsum(log)) — the cumsum rides the MXU
+        # (x @ upper-triangular-ones == inclusive row cumsum); exclusive =
+        # inclusive minus self.  om == 1 exactly for non-contributing lanes
+        # (log 0), and contributing alphas are capped at 0.99 so log(om) is
+        # finite; the ~1e-6 relative rounding is far below grad tolerances.
+        lw = jnp.log(om)
+        cum_log = jnp.dot(
+            lw, tri, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        E = jnp.exp(cum_log - lw)
         T_before = T * E  # true transmittance at each contributing instance
         w = a * T_before
 
@@ -526,18 +536,16 @@ def _backward_one_tile(
         b = meta[F_B, :][None, :]
         iv = meta[F_INVD, :][None, :]
 
-        # inclusive prefix sums of blended weight*value within chunk + carry
-        # (one MXU contraction each: x @ upper-triangular-ones == row cumsum)
-        def cumsum_mxu(x):
-            return jnp.dot(
-                x, tri, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-
-        Br_in = Br + cumsum_mxu(w * r)
-        Bg_in = Bg + cumsum_mxu(w * g)
-        Bb_in = Bb + cumsum_mxu(w * b)
-        Bi_in = Bi + cumsum_mxu(w * iv)
+        # all four prefix sums in ONE stacked MXU contraction
+        stacked = jnp.concatenate([w * r, w * g, w * b, w * iv], axis=0)
+        cs4 = jnp.dot(
+            stacked, tri, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        Br_in = Br + cs4[0 * pix : 1 * pix]
+        Bg_in = Bg + cs4[1 * pix : 2 * pix]
+        Bb_in = Bb + cs4[2 * pix : 3 * pix]
+        Bi_in = Bi + cs4[3 * pix : 4 * pix]
 
         # dC/da_k = c_k T_k - suffix_k/(1-a_k) - T_final*ct_T/(1-a_k), where
         # suffix_k = C_total - prefix_incl(k)  (equivalent to the reference's
@@ -631,7 +639,7 @@ def _backward_one_tile(
 
         new_state = jnp.concatenate(
             [
-                T * _row_prod(om),
+                T * jnp.exp(_last_lane(cum_log)),
                 _last_lane(Br_in),
                 _last_lane(Bg_in),
                 _last_lane(Bb_in),
