@@ -44,7 +44,7 @@ def main():
         scale_range=(0.004, 0.02),
         cam_distance=4.0,
     )
-    cfg = RasterizeConfig(instance_slack=6.0)
+    cfg = RasterizeConfig(instance_slack=4.5)
 
     def loss_fn(means3d, scales, quats, opacities, sh):
         out = render(

@@ -75,24 +75,11 @@ def _make_blend_core(grid_x, grid_y, tile_w, tile_h, chunk, interpret):
 
     def core_bwd(res, ct):
         meta, starts, ends, total_aligned, packed = res
-        # Reorder the packed-output cotangents into the kernel's CT layout;
-        # the T-column cotangent carries the background-compositing term
-        # (and any direct use of final_T by the loss).
-        zeros = jnp.zeros_like(ct[..., 0])
-        ct_packed = jnp.stack(
-            [
-                ct[..., bp.O_R],
-                ct[..., bp.O_G],
-                ct[..., bp.O_B],
-                ct[..., bp.O_INVD],
-                ct[..., bp.O_T],
-                zeros,
-                zeros,
-                zeros,
-            ],
-            axis=-1,
-        )
-        dmeta = bp.blend_backward_pallas(meta, starts, ends, packed, ct_packed, **kw)
+        # The packed cotangent already has the kernel's CT layout (CT_* ==
+        # O_*): the T-column cotangent carries the background-compositing
+        # term (and any direct use of final_T by the loss); unused columns
+        # (O_NCONTRIB/O_DONE) arrive as zeros.
+        dmeta = bp.blend_backward_pallas(meta, starts, ends, packed, ct, **kw)
         # Slots beyond the chunk-aligned written region belong to no tile and
         # hold garbage; zero them before the gather-VJP scatter-adds instance
         # grads onto Gaussians.
