@@ -3,18 +3,23 @@
 TPU-native redesign of the reference's ``renderCUDA`` forward
 (forward.cu:367-513) and backward (backward.cu:433-612):
 
-- Grid = one program per 16x16 tile (TPU grids run sequentially with DMA
-  pipelining, so per-tile dynamic trip counts give total-work scaling, unlike
-  a vmapped max-padded loop).
+- Grid = one program per group of ``t_per`` 16x16 tiles (TPU grids run
+  sequentially with DMA pipelining, so per-tile dynamic trip counts give
+  total-work scaling, unlike a vmapped max-padded loop).
 - Instances are consumed 128 at a time (the lane dimension) from a
   field-major (NUM_FIELDS, capacity) record array in HBM, double-buffered
   into VMEM with explicit async copies.  The binning stage lays instances out
   *chunk-aligned* per tile so every DMA offset is provably 128-aligned.
 - The per-pixel sequential front-to-back compositing is vectorized across a
   (256 pixels, 128 instances) block: transmittance uses an exclusive prefix
-  product (Hillis-Steele, log2(chunk) shift-multiply steps along lanes), and
-  the per-pixel early-stop (``test_T < 1e-4`` -> done, forward.cu:477-482)
-  becomes a cumulative-or suppression mask.
+  product (Hillis-Steele shift-multiplies forward; exp of an MXU prefix-sum
+  of logs in the backward replay), and the per-pixel early-stop
+  (``test_T < 1e-4`` -> done, forward.cu:477-482) becomes a first-bad-lane
+  mask from an MXU prefix count.  Prefix sums ride the MXU as x @
+  upper-triangular-ones contractions with a 2-pass bf16 hi+err split
+  (_dot_tri) — tri is exactly bf16 so that recovers ~f32 accuracy at a third
+  of Precision.HIGHEST's cost; every conic/mean pixel reduction collapses
+  into one pixel-moment contraction (Pmat) per chunk.
 - Per-pixel accumulator state (T, RGB, inverse depth, contributor count,
   done) lives in the VMEM output block / a VMEM scratch, NOT in loop
   carries: (pix, 1) vector carries cost 32 vregs each and trip Mosaic layout
@@ -24,9 +29,9 @@ TPU-native redesign of the reference's ``renderCUDA`` forward
   atomicAdd, we use suffix = total - prefix (totals come from the saved
   forward outputs) and write gradients **per instance slot** — each instance
   belongs to exactly one tile, so slots are disjoint and no atomics exist
-  anywhere.  Instance->Gaussian reduction happens outside as the autodiff
-  VJP of the gather that built the record array (a deterministic XLA
-  scatter-add).
+  anywhere.  Instance->Gaussian reduction happens outside in the custom VJP
+  of the gather that built the record array (a sequential Pallas segmented
+  scan — see ops/segscan.py — deterministic, no scatter).
 
 Gradient semantics match autodiff of the dense oracle
 (gaussian_splatting_tpu.ops.oracle), including zero gradient through the
@@ -62,8 +67,9 @@ OUT_COLS = 8
 CT_R, CT_G, CT_B, CT_BGDOT, CT_INVD = O_R, O_G, O_B, O_T, O_INVD
 CT_COLS = OUT_COLS
 
-# Backward replay state columns (VMEM scratch)
-S_T, S_BR, S_BG, S_BB, S_BI = range(5)
+# Backward replay state columns (VMEM scratch): transmittance + the single
+# combined cotangent-weighted prefix sum (see the q-collapse in the kernel)
+S_T, S_BQ = range(2)
 STATE_COLS = 8
 
 
@@ -275,6 +281,10 @@ def _forward_one_tile(
         )
 
         om = 1.0 - alpha
+        # forward transmittance stays an EXACT Hillis-Steele product chain:
+        # it defines the blend weights and the early-stop decisions, so the
+        # ~1e-6 rounding of an exp(log-cumsum) reformulation would leak into
+        # every output pixel (the backward replay can afford it; this can't).
         E = _exclusive_cumprod(om)  # prod of (1-a_j), j<k within chunk
         I = E * om  # inclusive cumprod
         T_before = T * E
@@ -517,10 +527,7 @@ def _backward_one_tile(
 
         st = state_ref[:]
         T = _col(st, S_T)
-        Br = _col(st, S_BR)
-        Bg = _col(st, S_BG)
-        Bb = _col(st, S_BB)
-        Bi = _col(st, S_BI)
+        Bq = _col(st, S_BQ)
 
         meta = meta_vmem[slot]
         n_in_chunk = end - start - c * chunk
@@ -538,7 +545,7 @@ def _backward_one_tile(
         # (x @ upper-triangular-ones == inclusive row cumsum); exclusive =
         # inclusive minus self.  om == 1 exactly for non-contributing lanes
         # (log 0), and contributing alphas are capped at 0.99 so log(om) is
-        # finite; the ~1e-6 relative rounding is far below grad tolerances.
+        # finite; the ~1e-7 relative rounding is far below grad tolerances.
         lw = jnp.log(om)
         cum_log = _dot_tri(lw, tri)
         E = jnp.exp(cum_log - lw)
@@ -550,23 +557,19 @@ def _backward_one_tile(
         b = meta[F_B, :][None, :]
         iv = meta[F_INVD, :][None, :]
 
-        # all four prefix sums in ONE stacked MXU contraction
-        stacked = jnp.concatenate([w * r, w * g, w * b, w * iv], axis=0)
-        cs4 = _dot_tri(stacked, tri)
-        Br_in = Br + cs4[0 * pix : 1 * pix]
-        Bg_in = Bg + cs4[1 * pix : 2 * pix]
-        Bb_in = Bb + cs4[2 * pix : 3 * pix]
-        Bi_in = Bi + cs4[3 * pix : 4 * pix]
-
         # dC/da_k = c_k T_k - suffix_k/(1-a_k) - T_final*ct_T/(1-a_k), where
         # suffix_k = C_total - prefix_incl(k)  (equivalent to the reference's
-        # accum_rec formulation, backward.cu:556-590; see module docstring).
+        # accum_rec formulation, backward.cu:556-590).  The four per-channel
+        # suffixes collapse into ONE because the cotangents dC_c are constant
+        # per pixel:  sum_c dC_c * suffix_c(k) = suffix of w*q with
+        # q = r*dC_r + g*dC_g + b*dC_b + iv*dinvd — a single prefix sum.
+        q = r * dC_r + g * dC_g + b * dC_b + iv * dinvd
+        cq_in = Bq + _dot_tri(w * q, tri)
+        Ctot_q = C_tot_r * dC_r + C_tot_g * dC_g + C_tot_b * dC_b + invd_tot * dinvd
         inv_om = 1.0 / om
         dL_da = (
-            (r * T_before - (C_tot_r - Br_in) * inv_om) * dC_r
-            + (g * T_before - (C_tot_g - Bg_in) * inv_om) * dC_g
-            + (b * T_before - (C_tot_b - Bb_in) * inv_om) * dC_b
-            + (iv * T_before - (invd_tot - Bi_in) * inv_om) * dinvd
+            q * T_before
+            - (Ctot_q - cq_in) * inv_om
             - T_final * inv_om * ct_T
         )
         dL_da = jnp.where(contrib, dL_da, 0.0)
@@ -651,11 +654,8 @@ def _backward_one_tile(
         new_state = jnp.concatenate(
             [
                 T * jnp.exp(_last_lane(cum_log)),
-                _last_lane(Br_in),
-                _last_lane(Bg_in),
-                _last_lane(Bb_in),
-                _last_lane(Bi_in),
-                jnp.zeros((pix, STATE_COLS - 5), jnp.float32),
+                _last_lane(cq_in),
+                jnp.zeros((pix, STATE_COLS - 2), jnp.float32),
             ],
             axis=1,
         )

@@ -37,6 +37,14 @@ from gaussian_splatting_tpu.ops.oracle import render_dense
 from gaussian_splatting_tpu.ops.preprocess import ProjectedGaussians, preprocess
 
 
+def mark_visible(means3d: jnp.ndarray, viewmatrix: jnp.ndarray) -> jnp.ndarray:
+    """Frustum-visibility mask (reference ``GaussianRasterizer.markVisible``,
+    rasterize_points.cu:250-274: present = view-space z > 0.2)."""
+    from gaussian_splatting_tpu.ops.transforms import apply_affine
+
+    return apply_affine(viewmatrix, means3d)[:, 2] > 0.2
+
+
 class RenderResult(NamedTuple):
     image: jnp.ndarray  # (3, H, W) with background composited
     invdepth: jnp.ndarray  # (H, W)
