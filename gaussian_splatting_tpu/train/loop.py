@@ -120,17 +120,51 @@ def grow_train_state(state: TrainState, new_capacity: int) -> TrainState:
 
 def save_checkpoint(path: str, state: TrainState, iteration: int) -> None:
     """Full training checkpoint (reference chkpnt<it>.pth, train.py:254-256,
-    including exposure state the reference's capture() forgets)."""
-    host = jax.tree_util.tree_map(np.asarray, state)
-    with open(path, "wb") as f:
-        pickle.dump({"state": host, "iteration": iteration}, f)
+    including exposure state the reference's capture() forgets).
+
+    Directory paths (no extension) use orbax — the multi-host-safe TPU
+    checkpoint format; ``.pkl`` paths use pickle (single host, simple).
+    """
+    if path.endswith(".pkl"):
+        host = jax.tree_util.tree_map(np.asarray, state)
+        with open(path, "wb") as f:
+            pickle.dump({"state": host, "iteration": iteration}, f)
+        return
+    import orbax.checkpoint as ocp
+
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(
+            os.path.abspath(path),
+            {"leaves": leaves, "iteration": iteration},
+            force=True,
+        )
+    # the treedef carries the static fields (capacity, sh degrees, ...)
+    with open(path + ".treedef.pkl", "wb") as f:
+        pickle.dump(treedef, f)
 
 
-def load_checkpoint(path: str) -> tuple:
-    with open(path, "rb") as f:
-        data = pickle.load(f)
-    state = jax.tree_util.tree_map(jnp.asarray, data["state"])
-    return state, data["iteration"]
+def load_checkpoint(path: str, like: Optional[TrainState] = None) -> tuple:
+    """Inverse of save_checkpoint; ``like`` provides the treedef for orbax."""
+    if path.endswith(".pkl"):
+        with open(path, "rb") as f:
+            data = pickle.load(f)
+        state = jax.tree_util.tree_map(jnp.asarray, data["state"])
+        return state, data["iteration"]
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        data = ckptr.restore(os.path.abspath(path))
+    if os.path.exists(path + ".treedef.pkl"):
+        with open(path + ".treedef.pkl", "rb") as f:
+            treedef = pickle.load(f)
+    else:
+        assert like is not None, "orbax restore needs a template TrainState"
+        treedef = jax.tree_util.tree_structure(like)
+    state = jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(x) for x in data["leaves"]]
+    )
+    return state, int(data["iteration"])
 
 
 def train(
@@ -173,7 +207,7 @@ def train(
     state = init_train_state(scene.gaussians, len(train_cams))
     first_iter = 0
     if start_checkpoint:
-        state, first_iter = load_checkpoint(start_checkpoint)
+        state, first_iter = load_checkpoint(start_checkpoint, like=state)
         print(f"Resumed from {start_checkpoint} at iteration {first_iter}")
 
     # Pre-size the instance buffer: measure actual tile-instance demand on a
