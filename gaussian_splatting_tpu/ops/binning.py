@@ -76,6 +76,8 @@ def bin_gaussians(
     grid_y: int,
     capacity: int,
     chunk: int = 128,
+    tile_w: int = 16,
+    tile_h: int = 16,
 ) -> BinnedInstances:
     """Expand Gaussians to per-tile instances and sort by (tile, depth)."""
     if capacity >= MAX_CAPACITY:
@@ -107,9 +109,9 @@ def bin_gaussians(
                 jnp.float32
             ),
             jnp.where(proj.valid, proj.depths, jnp.inf),
-            jnp.zeros((P,), jnp.float32),
-            jnp.zeros((P,), jnp.float32),
-            jnp.zeros((P,), jnp.float32),
+            proj.means2d[:, 0],
+            proj.means2d[:, 1],
+            proj.cut_radius,
         ],
         axis=1,
     )  # (P, 8)
@@ -121,7 +123,20 @@ def bin_gaussians(
     safe_w = rows[:, 3].astype(jnp.int32)
     ty = rows[:, 2].astype(jnp.int32) + local // safe_w
     tx = rows[:, 1].astype(jnp.int32) + local % safe_w
-    tile = jnp.where(in_range, ty * grid_x + tx, num_tiles)
+
+    # Exact circle-vs-tile cull: a tile whose closest pixel center is farther
+    # than cut_radius from the Gaussian center can never see alpha >= 1/255
+    # (see preprocess), so its instance is dropped before the sort — corner
+    # tiles of the bounding rect (~21% of large footprints) go away with the
+    # rendered image unchanged.
+    cx = rows[:, 5]
+    cy = rows[:, 6]
+    qx = jnp.clip(cx, (tx * tile_w).astype(jnp.float32), (tx * tile_w + tile_w - 1).astype(jnp.float32))
+    qy = jnp.clip(cy, (ty * tile_h).astype(jnp.float32), (ty * tile_h + tile_h - 1).astype(jnp.float32))
+    d2 = (qx - cx) ** 2 + (qy - cy) ** 2
+    hit = d2 <= rows[:, 7] ** 2
+
+    tile = jnp.where(in_range & hit, ty * grid_x + tx, num_tiles)
     depth = jnp.where(in_range, rows[:, 4], jnp.inf)
 
     # Two-key lexicographic sort replaces the packed 64-bit radix sort.

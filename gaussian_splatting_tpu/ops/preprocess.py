@@ -49,6 +49,7 @@ class ProjectedGaussians(NamedTuple):
     rect_max: jnp.ndarray  # (P, 2) int32 exclusive tile coords (x, y)
     tiles_touched: jnp.ndarray  # (P,) int32
     valid: jnp.ndarray  # (P,) bool
+    cut_radius: jnp.ndarray  # (P,) float conservative visibility radius
 
 
 def compute_cov2d(
@@ -177,16 +178,30 @@ def preprocess(
     lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     radius_f = jnp.ceil(3.0 * jnp.sqrt(lam1))
 
+    # --- opacity-aware cut radius (output-preserving instance culling) ---
+    # alpha = op * exp(-0.5 d^T Sigma^-1 d) <= op * exp(-|d|^2 / (2 lam1)), so
+    # every pixel farther than r_cut = sqrt(2 lam1 ln(255 op)) from the center
+    # is guaranteed below the blend's 1/255 eligibility floor
+    # (forward.cu:475) and can never contribute.  Shrinking the tile rect to
+    # min(3 sigma, r_cut) therefore leaves the rendered image bit-identical
+    # while skipping instances of low-opacity Gaussians entirely (op < 1/255
+    # emits no instances at all — including dead capacity slots).
+    op_for_cut = opacities * aa_scale
+    log_term = 2.0 * jnp.log(jnp.maximum(255.0 * op_for_cut, 1.0))
+    r_cut = jnp.minimum(jnp.sqrt(lam1 * log_term), radius_f)
+    rect_radius = jnp.ceil(r_cut)
+
     # --- tile rect (auxiliary.h:49-59); truncation-toward-zero == reference ---
-    rx_min = jnp.clip(((mean2d[:, 0] - radius_f) / tile_w).astype(jnp.int32), 0, grid_x)
-    ry_min = jnp.clip(((mean2d[:, 1] - radius_f) / tile_h).astype(jnp.int32), 0, grid_y)
+    rx_min = jnp.clip(((mean2d[:, 0] - rect_radius) / tile_w).astype(jnp.int32), 0, grid_x)
+    ry_min = jnp.clip(((mean2d[:, 1] - rect_radius) / tile_h).astype(jnp.int32), 0, grid_y)
     rx_max = jnp.clip(
-        ((mean2d[:, 0] + radius_f + tile_w - 1) / tile_w).astype(jnp.int32), 0, grid_x
+        ((mean2d[:, 0] + rect_radius + tile_w - 1) / tile_w).astype(jnp.int32), 0, grid_x
     )
     ry_max = jnp.clip(
-        ((mean2d[:, 1] + radius_f + tile_h - 1) / tile_h).astype(jnp.int32), 0, grid_y
+        ((mean2d[:, 1] + rect_radius + tile_h - 1) / tile_h).astype(jnp.int32), 0, grid_y
     )
     tiles = (rx_max - rx_min) * (ry_max - ry_min)
+    tiles = jnp.where(op_for_cut * 255.0 > 1.0, tiles, 0)
 
     valid = in_front & det_ok & (tiles > 0)
     tiles = jnp.where(valid, tiles, 0)
@@ -211,4 +226,5 @@ def preprocess(
         rect_max=jnp.stack([rx_max, ry_max], axis=-1),
         tiles_touched=tiles,
         valid=valid,
+        cut_radius=r_cut,
     )

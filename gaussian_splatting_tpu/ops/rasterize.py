@@ -276,6 +276,8 @@ def render(
         grid_y=grid_y,
         capacity=capacity,
         chunk=cfg.chunk,
+        tile_w=tile_w,
+        tile_h=tile_h,
     )
     meta = _build_meta(proj, binned, cfg.chunk)
 

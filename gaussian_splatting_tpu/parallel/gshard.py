@@ -106,6 +106,8 @@ def render_gaussian_sharded(
             grid_y=grid_y_local,
             capacity=capacity_per_device,
             chunk=cfg.chunk,
+            tile_w=tile_w,
+            tile_h=tile_h,
         )
         meta = _build_meta(proj, binned, cfg.chunk)
         packed = core(meta, binned.tile_starts, binned.tile_ends, binned.total_aligned)
