@@ -226,6 +226,7 @@ def train(
     )
 
     step_cache = {}
+    batch_cache = {}
 
     def get_step_fn(h, w):
         key = (h, w, raster_holder[0].instance_slack)
@@ -281,21 +282,30 @@ def train(
         if not cam_stack:
             cam_stack = list(range(len(train_cams)))
             random.shuffle(cam_stack)
-        camera = train_cams[cam_stack.pop()]
+        cam_idx = cam_stack.pop()
+        camera = train_cams[cam_idx]
 
-        iter_bg = (
-            np.random.rand(3).astype(np.float32) if opt.random_background else bg
-        )
-        batch = make_batch(camera, iter_bg)
+        if opt.random_background:
+            batch = make_batch(camera, np.random.rand(3).astype(np.float32))
+        else:
+            # device-resident batch cache: upload each camera's pixels once,
+            # not every epoch (matters hugely through a remote-device tunnel)
+            batch = batch_cache.get(cam_idx)
+            if batch is None:
+                batch = make_batch(camera, bg)
+                batch_cache[cam_idx] = batch
         prev_state = state
         fn = get_step_fn(camera.height, camera.width)
         state, metrics = fn(state, camera.cam, batch)
+
+        # ONE host<->device round-trip for all step scalars
+        m = np.asarray(metrics["packed"])
 
         # instance-buffer overflow means the render (and its gradients) were
         # truncated: discard the step, double the slack, retry (the static
         # replacement of the reference's device->host num_rendered realloc)
         retries = 0
-        while bool(metrics["overflow"]) and retries < 4:
+        while m[3] > 0 and retries < 4:
             slack = raster_holder[0].instance_slack * 2.0
             print(
                 f"[it {iteration}] instance buffer overflow — retrying with "
@@ -306,20 +316,21 @@ def train(
             )
             fn = get_step_fn(camera.height, camera.width)
             state, metrics = fn(prev_state, camera.cam, batch)
+            m = np.asarray(metrics["packed"])
             retries += 1
 
-        loss = float(metrics["loss"])
+        loss = float(m[0])
         ema_loss = 0.4 * loss + 0.6 * ema_loss
 
         if tb_writer is not None:
             # training_report scalars (train.py:336-339)
-            tb_writer.add_scalar("train_loss_patches/l1_loss", float(metrics["l1"]), iteration)
+            tb_writer.add_scalar("train_loss_patches/l1_loss", float(m[1]), iteration)
             tb_writer.add_scalar("train_loss_patches/total_loss", loss, iteration)
-            tb_writer.add_scalar("total_points", int(metrics["num_alive"]), iteration)
+            tb_writer.add_scalar("total_points", int(m[5]), iteration)
 
         # capacity pressure: grow when >90% full
         if iteration % 100 == 0:
-            alive = int(metrics["num_alive"])
+            alive = int(m[5])
             if alive > 0.9 * state.model.capacity:
                 new_cap = int(state.model.capacity * 1.5)
                 print(f"[it {iteration}] growing capacity {state.model.capacity} -> {new_cap}")
@@ -346,10 +357,10 @@ def train(
                 state = reset_fn(state)
 
         if not quiet and iteration % 500 == 0:
-            n = int(metrics["num_alive"])
+            n = int(m[5])
             print(
                 f"[it {iteration}/{opt.iterations}] loss={ema_loss:.5f} "
-                f"gaussians={n} inst={int(metrics['num_instances'])} "
+                f"gaussians={n} inst={int(m[4])} "
                 f"({time.time() - t_start:.0f}s)"
             )
 

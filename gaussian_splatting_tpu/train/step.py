@@ -196,6 +196,18 @@ def train_step(
         "num_instances": aux_out["num_instances"],
         "num_alive": new_model.num_alive(),
     }
+    # one fetchable array so the host pays a single device round-trip per
+    # step (each separate scalar fetch costs a full RTT on remote devices)
+    metrics["packed"] = jnp.stack(
+        [
+            loss,
+            aux_out["l1"],
+            aux_out["depth_loss"],
+            aux_out["overflow"].astype(jnp.float32),
+            aux_out["num_instances"].astype(jnp.float32),
+            new_model.num_alive().astype(jnp.float32),
+        ]
+    )
     return new_state, metrics
 
 
