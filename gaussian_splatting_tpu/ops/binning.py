@@ -78,8 +78,14 @@ def bin_gaussians(
     chunk: int = 128,
     tile_w: int = 16,
     tile_h: int = 16,
+    grad_layout: bool = True,
 ) -> BinnedInstances:
-    """Expand Gaussians to per-tile instances and sort by (tile, depth)."""
+    """Expand Gaussians to per-tile instances and sort by (tile, depth).
+
+    ``grad_layout=False`` skips the expansion->aligned mapping used only by
+    the gradient reduction (a scatter worth ~15% of binning) for
+    inference-only renders.
+    """
     if capacity >= MAX_CAPACITY:
         raise ValueError(f"instance capacity {capacity} exceeds f32-exact range")
     num_tiles = grid_x * grid_y
@@ -140,10 +146,17 @@ def bin_gaussians(
     depth = jnp.where(in_range, rows[:, 4], jnp.inf)
 
     # Two-key lexicographic sort replaces the packed 64-bit radix sort.
-    # ``slots`` rides along to recover the expansion -> sorted permutation.
-    sorted_tile, _d, sorted_g, sorted_src = jax.lax.sort(
-        (tile, depth, g, slots), num_keys=2, is_stable=True
-    )
+    # ``slots`` rides along to recover the expansion -> sorted permutation
+    # (only needed for the gradient layout).
+    if grad_layout:
+        sorted_tile, _d, sorted_g, sorted_src = jax.lax.sort(
+            (tile, depth, g, slots), num_keys=2, is_stable=True
+        )
+    else:
+        sorted_tile, _d, sorted_g = jax.lax.sort(
+            (tile, depth, g), num_keys=2, is_stable=True
+        )
+        sorted_src = None
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     starts = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(jnp.int32)
@@ -174,8 +187,11 @@ def bin_gaussians(
     ids_aligned = ids_aligned.at[pos].set(sorted_g, mode="drop")
 
     # expansion slot -> aligned slot (for the gradient segment reduction)
-    pos_expansion = jnp.full((capacity,), cap_aligned, jnp.int32)
-    pos_expansion = pos_expansion.at[sorted_src].set(pos, mode="drop")
+    if grad_layout:
+        pos_expansion = jnp.full((capacity,), cap_aligned, jnp.int32)
+        pos_expansion = pos_expansion.at[sorted_src].set(pos, mode="drop")
+    else:
+        pos_expansion = jnp.full((capacity,), cap_aligned, jnp.int32)
 
     seg_starts = jnp.minimum(offsets, capacity).astype(jnp.int32)
     seg_ends = jnp.minimum(incl, capacity).astype(jnp.int32)

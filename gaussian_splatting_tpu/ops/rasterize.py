@@ -219,6 +219,7 @@ def render(
     capacity: Optional[int] = None,
     scale_modifier: float = 1.0,
     impl: Optional[str] = None,
+    inference: bool = False,
 ) -> RenderResult:
     """Render P Gaussians to an image (reference ``render()``,
     gaussian_renderer/__init__.py:19-157, minus exposure — applied by callers).
@@ -278,6 +279,7 @@ def render(
         chunk=cfg.chunk,
         tile_w=tile_w,
         tile_h=tile_h,
+        grad_layout=not inference,
     )
     meta = _build_meta(proj, binned, cfg.chunk)
 

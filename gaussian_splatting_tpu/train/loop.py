@@ -415,6 +415,7 @@ def render_camera(state: TrainState, camera: Camera, raster, bg, use_exposure=Fa
         camera.cam,
         jnp.asarray(bg),
         sh_degree=model.max_sh_degree,
+        inference=True,
     )
     image = out.image
     if use_exposure:
@@ -434,6 +435,7 @@ def render_custom_cam(state: TrainState, cam, bg, scale_modifier: float = 1.0):
         jnp.asarray(bg),
         sh_degree=state.model.max_sh_degree,
         scale_modifier=float(scale_modifier),
+        inference=True,
     )
     return out.image
 
