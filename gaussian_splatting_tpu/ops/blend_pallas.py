@@ -126,6 +126,25 @@ def _dot_tri(x: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
     return hi + err
 
 
+def _dot3(a: jnp.ndarray, b: jnp.ndarray, dims) -> jnp.ndarray:
+    """dot_general at ~f32 accuracy in THREE default-precision MXU passes.
+
+    Both operands get the bf16 hi+err split; the err*err term (~2^-18) is
+    dropped — half of Precision.HIGHEST's six passes for the same practical
+    accuracy (bfloat16x3 scheme).
+    """
+    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    a_err = a - a_hi
+    b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
+    b_err = b - b_hi
+    d = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+    )
+    return d(a_hi, b_hi) + d(a_hi, b_err) + d(a_err, b_hi)
+
+
 def _last_lane(x: jnp.ndarray) -> jnp.ndarray:
     """x[..., -1:] via a masked reduction (canonical Mosaic layout)."""
     n = x.shape[-1]
@@ -301,12 +320,8 @@ def _forward_one_tile(
 
         # one MXU contraction computes all four weighted accumulations:
         # (pix, chunk) x (4, chunk) contracted over the instance lanes
-        acc = jax.lax.dot_general(
-            w,
-            meta[F_R : F_INVD + 1, :],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        acc = _dot3(
+            w, meta[F_R : F_INVD + 1, :], (((1,), (1,)), ((), ()))
         )  # (pix, 4)
         dCr = acc[:, 0:1]
         dCg = acc[:, 1:2]
@@ -583,11 +598,7 @@ def _backward_one_tile(
         #       Σgl·px², Σgl·px·py, Σgl·py²] from which every conic/mean
         #       gradient follows (per-instance factors pulled out of the sum),
         #   cacc = [dC_r|dC_g|dC_b|dinvd]^T @ w -> the color/invdepth grads.
-        s = jax.lax.dot_general(
-            Pmat, gl, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (8, chunk)
+        s = _dot3(Pmat, gl, (((0,), (0,)), ((), ())))  # (8, chunk)
         s0 = s[0:1]
         sx = s[1:2]
         sy = s[2:3]
@@ -617,11 +628,7 @@ def _backward_one_tile(
         dL_dop = s0 * jnp.where(op_row > 0.0, 1.0 / jnp.maximum(op_row, 1e-30), 0.0)
 
         ctmat = jnp.concatenate([dC_r, dC_g, dC_b, dinvd], axis=1)  # (pix, 4)
-        cacc = jax.lax.dot_general(
-            ctmat, w, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (4, chunk)
+        cacc = _dot3(ctmat, w, (((0,), (0,)), ((), ())))  # (4, chunk)
         dL_dr = cacc[0:1]
         dL_dg = cacc[1:2]
         dL_db = cacc[2:3]
