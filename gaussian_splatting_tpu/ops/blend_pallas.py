@@ -90,17 +90,6 @@ def _exclusive_cumprod(x: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-def _inclusive_cumsum(x: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive prefix sum along lanes (Hillis-Steele)."""
-    n = x.shape[-1]
-    out = x
-    s = 1
-    while s < n:
-        out = out + _shift_lanes(out, s, 0.0)
-        s *= 2
-    return out
-
-
 def _upper_tri(chunk: int) -> jnp.ndarray:
     """(chunk, chunk) upper-triangular ones: x @ tri = inclusive row cumsum.
 
@@ -150,22 +139,6 @@ def _last_lane(x: jnp.ndarray) -> jnp.ndarray:
     n = x.shape[-1]
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
     return jnp.sum(jnp.where(lane == n - 1, x, 0.0), axis=-1, keepdims=True)
-
-
-def _row_prod(x: jnp.ndarray) -> jnp.ndarray:
-    """Product along lanes, keepdims — Mosaic has no reduce_prod primitive."""
-    n = x.shape[-1]
-    out = x
-    s = 1
-    while s < n:
-        out = out * _shift_lanes(out, s, 1.0)
-        s *= 2
-    return _last_lane(out)
-
-
-def _suppressed(bad: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive cumulative-or along lanes: True at/after the first True."""
-    return _inclusive_cumsum(bad.astype(jnp.float32)) > 0.0
 
 
 def _tile_pixel_coords(tile_id, grid_x: int, tile_w: int, tile_h: int):
