@@ -21,6 +21,7 @@ import numpy as np
 from gaussian_splatting_tpu.ops.camera_math import CameraParams, make_camera
 
 _warned_big = [False]
+_warned_native_fallback = [False]
 
 
 @dataclass
@@ -119,7 +120,11 @@ def load_camera(
                 if (w, h) != (iw, ih):
                     raw = native.resize_bilinear(raw, h, w)
                 arr = raw.astype(np.float32) / 255.0
-    except Exception:
+    except Exception as exc:
+        if not _warned_native_fallback[0]:
+            print(f"[cameras] native image loader unavailable ({exc!r}); "
+                  "falling back to PIL")
+            _warned_native_fallback[0] = True
         arr = None
 
     if arr is None:
@@ -128,7 +133,11 @@ def load_camera(
         pil = Image.open(info.image_path)
         w, h = _resolve_size(pil.width, pil.height, resolution, resolution_scale)
         has_alpha = pil.mode in ("RGBA", "LA")
-        pil = pil.resize((w, h), Image.LANCZOS)
+        # BILINEAR to match the native path bit-for-bit in spirit: one
+        # resampling family regardless of which loader ran. (The reference
+        # uses PIL's default bicubic, scene/cameras.py:42-54 — a deliberate,
+        # documented divergence; training quality is insensitive to it.)
+        pil = pil.resize((w, h), Image.BILINEAR)
         arr = np.asarray(pil.convert("RGBA" if has_alpha else "RGB"), np.float32) / 255.0
 
     alpha = None

@@ -24,10 +24,10 @@ _lib = None
 _build_failed = False
 
 
-def _build() -> bool:
+def _build(out: str = _LIB_PATH) -> bool:
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        _SRC, "-o", _LIB_PATH, "-ljpeg", "-lpng",
+        _SRC, "-o", out, "-ljpeg", "-lpng",
     ]
     try:
         result = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
@@ -37,6 +37,27 @@ def _build() -> bool:
         print(f"gs_native build failed:\n{result.stderr[-2000:]}")
         return False
     return True
+
+
+def _smoke_test(lib) -> bool:
+    """Cheap correctness call to reject a stale/foreign-arch binary.
+
+    The .so is never committed (built per-host because of -march=native); this
+    guards the remaining case of a cached build from a different toolchain.
+    """
+    try:
+        pts = np.array(
+            [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32
+        )
+        out = np.empty((4,), np.float32)
+        rc = lib.knn_mean_sq_dist(
+            _ptr(pts, ctypes.c_float), 4, 16, _ptr(out, ctypes.c_float)
+        )
+        # origin's neighbours: sq dists {1,1,1}; each axis point: {1,2,2}
+        expect = np.array([1.0, 5 / 3, 5 / 3, 5 / 3], np.float32)
+        return rc == 0 and np.allclose(out, expect, atol=1e-5)
+    except Exception:
+        return False
 
 
 def load() -> Optional[ctypes.CDLL]:
@@ -83,6 +104,23 @@ def load() -> Optional[ctypes.CDLL]:
         lib.image_u8_hwc_to_f32_chw.argtypes = [p_u8, c_ll, c_ll, c_ll, p_f]
         lib.knn_mean_sq_dist.restype = c_i
         lib.knn_mean_sq_dist.argtypes = [p_f, c_ll, c_i, p_f]
+        if not _smoke_test(lib):
+            # Stale cached binary. Rebuild into a fresh path (dlopen caches
+            # by path, so reloading _LIB_PATH would return the old mapping).
+            retry = _LIB_PATH + f".{os.getpid()}"
+            if not _build(out=retry):
+                _build_failed = True
+                return None
+            try:
+                lib = ctypes.CDLL(retry)
+            except OSError:
+                _build_failed = True
+                return None
+            lib.knn_mean_sq_dist.restype = c_i
+            lib.knn_mean_sq_dist.argtypes = [p_f, c_ll, c_i, p_f]
+            if not _smoke_test(lib):
+                _build_failed = True
+                return None
         _lib = lib
         return _lib
 

@@ -64,6 +64,7 @@ long long colmap_read_points3d(const char* path, double* xyz, uint8_t* rgb,
     memcpy(err + i, p, 8); p += 8;
     uint64_t track_len;
     memcpy(&track_len, p, 8); p += 8;
+    if ((long long)track_len < 0 || p + 8 * (long long)track_len > end) return -1;
     p += 8 * track_len;
     if (ids) ids[i] = (long long)id;
   }
@@ -113,6 +114,7 @@ long long colmap_read_images(const char* path, int want_points2d,
     if (p + 8 > end) return -1;
     uint64_t np2d;
     memcpy(&np2d, p, 8); p += 8;
+    if ((long long)np2d < 0 || p + 24 * (long long)np2d > end) return -1;
     long long pts_bytes = want_points2d ? (long long)np2d * 24 : 0;
 
     if (meta == nullptr) {

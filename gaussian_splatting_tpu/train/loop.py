@@ -155,12 +155,18 @@ def load_checkpoint(path: str, like: Optional[TrainState] = None) -> tuple:
 
     with ocp.PyTreeCheckpointer() as ckptr:
         data = ckptr.restore(os.path.abspath(path))
-    if os.path.exists(path + ".treedef.pkl"):
+    if like is not None:
+        # Prefer the template's structure: no pickle execution from the
+        # checkpoint directory, and robust to TrainState field evolution as
+        # long as the leaf count/order matches.
+        treedef = jax.tree_util.tree_structure(like)
+    elif os.path.exists(path + ".treedef.pkl"):
+        # Side-car fallback (same-version restores without a template). NOTE:
+        # pickle executes code — only restore checkpoints you wrote.
         with open(path + ".treedef.pkl", "rb") as f:
             treedef = pickle.load(f)
     else:
-        assert like is not None, "orbax restore needs a template TrainState"
-        treedef = jax.tree_util.tree_structure(like)
+        raise ValueError("orbax restore needs a template TrainState")
     state = jax.tree_util.tree_unflatten(
         treedef, [jnp.asarray(x) for x in data["leaves"]]
     )
