@@ -58,10 +58,17 @@ def main():
     if args.use_depth:
         extra += " -d depths"
     if args.use_expcomp:
-        extra += " --train_test_exp"
+        # reference full_eval.py:55-56: exposure LR schedule comes with the flag
+        extra += (
+            " --exposure_lr_init 0.001 --exposure_lr_final 0.0001"
+            " --exposure_lr_delay_steps 5000 --exposure_lr_delay_mult 0.001"
+            " --train_test_exp"
+        )
     if args.aa:
         extra += " --antialiasing"
     if args.fast:
+        # reference full_eval.py:58-59: --fast is exactly sparse_adam (the
+        # accelerated rasterizer is this repo's default path already)
         extra += " --optimizer_type sparse_adam"
 
     timing_path = os.path.join(args.output_path, "timing.txt")

@@ -8,6 +8,7 @@ evaluation hooks.
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import os
 import pickle
@@ -189,6 +190,7 @@ def train(
     viewer_ip: str = "",
     viewer_port: int = 6009,
     tb_writer=None,
+    debug_from: int = -1,
 ) -> TrainState:
     random.seed(seed)
     np.random.seed(seed)
@@ -232,7 +234,30 @@ def train(
     )
 
     step_cache = {}
-    batch_cache = {}
+    # Device-resident batch cache, LRU-bounded by HBM bytes: at MipNeRF360
+    # scale (185 cams x 1080p f32) an unbounded cache pins ~4.6 GB of HBM.
+    batch_cache = collections.OrderedDict()
+    batch_cache_budget = int(
+        float(os.environ.get("GS_BATCH_CACHE_GB", "1.5")) * (1 << 30)
+    )
+
+    def batch_bytes(b: StepBatch) -> int:
+        return sum(int(np.prod(x.shape)) * 4 for x in b)
+
+    def cache_batch(cam_idx, camera):
+        batch = batch_cache.get(cam_idx)
+        if batch is not None:
+            batch_cache.move_to_end(cam_idx)
+            return batch
+        batch = make_batch(camera, bg)
+        batch_cache[cam_idx] = batch
+        total = sum(batch_bytes(b) for b in batch_cache.values())
+        while len(batch_cache) > 1 and total > batch_cache_budget:
+            _, old = batch_cache.popitem(last=False)
+            total -= batch_bytes(old)
+            for leaf in old:
+                leaf.delete()
+        return batch
 
     def get_step_fn(h, w):
         key = (h, w, raster_holder[0].instance_slack)
@@ -269,6 +294,10 @@ def train(
     t_start = time.time()
 
     for iteration in range(first_iter + 1, opt.iterations + 1):
+        # --debug_from: arm NaN debugging mid-run (reference train.py:136-137)
+        if debug_from >= 0 and iteration == debug_from:
+            print(f"[it {iteration}] enabling jax_debug_nans")
+            jax.config.update("jax_debug_nans", True)
         if viewer is not None:
             from gaussian_splatting_tpu.viewer.network_gui import poll_viewer
 
@@ -296,10 +325,7 @@ def train(
         else:
             # device-resident batch cache: upload each camera's pixels once,
             # not every epoch (matters hugely through a remote-device tunnel)
-            batch = batch_cache.get(cam_idx)
-            if batch is None:
-                batch = make_batch(camera, bg)
-                batch_cache[cam_idx] = batch
+            batch = cache_batch(cam_idx, camera)
         prev_state = state
         fn = get_step_fn(camera.height, camera.width)
         state, metrics = fn(state, camera.cam, batch)
@@ -409,22 +435,37 @@ def _activated_params(model):
     )
 
 
-def render_camera(state: TrainState, camera: Camera, raster, bg, use_exposure=False):
-    """Eval-path render of one camera (no grads)."""
+def render_camera(
+    state: TrainState, camera: Camera, raster, bg, use_exposure=False,
+    exposure=None,
+):
+    """Eval-path render of one camera (no grads).
+
+    ``raster`` (a RasterizeConfig) is threaded through so eval renders use
+    the SAME rasterizer settings — antialiasing in particular — the model was
+    trained with (reference gaussian_renderer/__init__.py:55-69).
+    ``exposure`` overrides the per-image affine (pretrained exposure.json at
+    render time, scene/gaussian_model.py:163-167).
+    """
     from gaussian_splatting_tpu.ops.rasterize import render
     from gaussian_splatting_tpu.train.step import apply_exposure
 
     model = state.model
     means, scales, quats, opac, sh = _activated_params(model)
+    kwargs = {} if raster is None else {"cfg": raster}
     out = render(
         means, scales, quats, opac, sh,
         camera.cam,
         jnp.asarray(bg),
         sh_degree=model.max_sh_degree,
         inference=True,
+        **kwargs,
     )
     image = out.image
-    if use_exposure:
+    if exposure is not None:
+        image = apply_exposure(image, jnp.asarray(exposure, jnp.float32))
+        image = jnp.clip(image, 0.0, 1.0)
+    elif use_exposure:
         image = apply_exposure(image, state.exposures[camera.exposure_idx])
         image = jnp.clip(image, 0.0, 1.0)
     return image, out

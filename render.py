@@ -28,7 +28,12 @@ def main():
     parser.add_argument("--antialiasing", action="store_true")
     args = parser.parse_args()
 
-    from gaussian_splatting_tpu.config import ModelConfig, load_config
+    from gaussian_splatting_tpu.config import (
+        ModelConfig,
+        PipelineConfig,
+        RasterizeConfig,
+        load_config,
+    )
     from gaussian_splatting_tpu.scene import Scene
     from gaussian_splatting_tpu.train.loop import render_camera
     from gaussian_splatting_tpu.train.step import init_train_state
@@ -54,10 +59,36 @@ def main():
         )
     model_cfg.model_path = args.model_path
 
+    # rasterizer settings: persisted pipeline flags, CLI --antialiasing on top
+    # (reference threads pipe.antialiasing into every eval render,
+    # gaussian_renderer/__init__.py:55-69)
+    pipe_path = os.path.join(args.model_path, "pipe_args.json")
+    pipe = (
+        load_config(PipelineConfig, pipe_path)
+        if os.path.exists(pipe_path)
+        else PipelineConfig()
+    )
+    antialiasing = pipe.antialiasing or args.antialiasing
+    raster_cfg = RasterizeConfig(
+        antialiasing=antialiasing, impl=pipe.rasterizer_impl
+    )
+
     import imageio.v2 as imageio
 
     scene = Scene(model_cfg, load_iteration=args.iteration, shuffle=False)
     state = init_train_state(scene.gaussians, len(scene.get_train_cameras()))
+
+    # pretrained exposures: reference loads exposure.json next to the model
+    # and applies it per image name when train_test_exp
+    # (scene/gaussian_model.py:163-167, gaussian_renderer/__init__.py:137-143)
+    pretrained_exposures = None
+    if model_cfg.train_test_exp:
+        exp_path = os.path.join(args.model_path, "exposure.json")
+        if os.path.exists(exp_path):
+            with open(exp_path) as f:
+                pretrained_exposures = json.load(f)
+        else:
+            print(f"No exposure to be loaded at {exp_path}")
     bg = (
         np.array([1, 1, 1], np.float32)
         if model_cfg.white_background
@@ -79,7 +110,12 @@ def main():
         os.makedirs(os.path.join(base, "renders"), exist_ok=True)
         os.makedirs(os.path.join(base, "gt"), exist_ok=True)
         for idx, cam in enumerate(cams):
-            img, _ = render_camera(state, cam, None, bg)
+            exposure = None
+            if pretrained_exposures is not None:
+                exposure = pretrained_exposures.get(cam.image_name)
+                if exposure is None:
+                    print(f"No exposure found for {cam.image_name}; using identity")
+            img, _ = render_camera(state, cam, raster_cfg, bg, exposure=exposure)
             img = np.asarray(img).transpose(1, 2, 0)
             gt = cam.image.transpose(1, 2, 0)
             if model_cfg.train_test_exp:  # keep right half (render.py:33-37)

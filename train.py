@@ -37,6 +37,12 @@ def add_pipeline_args(p):
     p.add_argument("--convert_SHs_python", action="store_true")
     p.add_argument("--compute_cov3D_python", action="store_true")
     p.add_argument("--debug", action="store_true")
+    # reference train.py:136-137,412,432: --debug_from arms pipe.debug at a
+    # given iteration; --detect_anomaly is torch autograd anomaly mode. The
+    # JAX analogues both map to jax_debug_nans (re-runs the failing jitted
+    # step op-by-op and points at the primitive that produced the NaN).
+    p.add_argument("--debug_from", type=int, default=-1)
+    p.add_argument("--detect_anomaly", action="store_true")
     p.add_argument("--antialiasing", action="store_true")
     p.add_argument("--rasterizer_impl", type=str, default="auto")
 
@@ -114,6 +120,10 @@ def main():
     pipe = extract(PipelineConfig, args)
     save_config(model_cfg, os.path.join(args.model_path, "cfg_args.json"))
     save_config(opt, os.path.join(args.model_path, "opt_args.json"))
+    # pipeline flags (antialiasing!) persist too so render.py/metrics.py can
+    # evaluate with the training-time rasterizer settings (get_combined_args
+    # semantics, arguments/__init__.py:102-122)
+    save_config(pipe, os.path.join(args.model_path, "pipe_args.json"))
 
     from gaussian_splatting_tpu.train.loop import train
 
@@ -130,11 +140,17 @@ def main():
 
         jax.profiler.start_trace(args.profile)
 
+    if args.detect_anomaly or (pipe.debug and args.debug_from < 0):
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+
     t0 = time.time()
     train(
         model_cfg,
         opt,
         pipe,
+        debug_from=args.debug_from if pipe.debug else -1,
         test_iterations=set(args.test_iterations),
         save_iterations=set(args.save_iterations),
         checkpoint_iterations=set(args.checkpoint_iterations),
