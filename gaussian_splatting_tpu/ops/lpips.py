@@ -8,7 +8,24 @@ This image has no torchvision/pretrained weights and no network egress, so
 the metric is *gated*: pass a weights file (``.npz``) containing the VGG16
 conv kernels (`features.N.weight`/`.bias`, torch layout OIHW) and the LPIPS
 linear heads (`lin{i}.model.1.weight`).  ``metrics.py --lpips_weights`` wires
-it up; without weights LPIPS is reported as null.
+it up (also honors ``$GS_LPIPS_WEIGHTS`` and ``~/.cache/gs_lpips_vgg16.npz``);
+without weights LPIPS is reported as null.  The math itself is locked by
+``tests/test_lpips.py`` against an independent torch implementation on
+random real-shaped weights.
+
+Weights export recipe (run once on any machine with egress)::
+
+    import numpy as np, torch, torchvision, lpips  # pip install lpips
+    vgg = torchvision.models.vgg16(weights="IMAGENET1K_V1").features
+    net = lpips.LPIPS(net="vgg")  # richzhang linear heads
+    out = {}
+    for i, m in enumerate(vgg):
+        if isinstance(m, torch.nn.Conv2d):
+            out[f"features.{i}.weight"] = m.weight.detach().numpy()
+            out[f"features.{i}.bias"] = m.bias.detach().numpy()
+    for i, lin in enumerate(net.lins):
+        out[f"lin{i}.model.1.weight"] = lin.model[1].weight.detach().numpy()
+    np.savez("gs_lpips_vgg16.npz", **out)
 """
 
 from __future__ import annotations

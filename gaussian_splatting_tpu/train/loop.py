@@ -294,6 +294,7 @@ def train(
     t_start = time.time()
 
     for iteration in range(first_iter + 1, opt.iterations + 1):
+        t_iter_start = time.time()
         # --debug_from: arm NaN debugging mid-run (reference train.py:136-137)
         if debug_from >= 0 and iteration == debug_from:
             print(f"[it {iteration}] enabling jax_debug_nans")
@@ -359,6 +360,11 @@ def train(
             tb_writer.add_scalar("train_loss_patches/l1_loss", float(m[1]), iteration)
             tb_writer.add_scalar("train_loss_patches/total_loss", loss, iteration)
             tb_writer.add_scalar("total_points", int(m[5]), iteration)
+            # per-iteration wall time in ms (train.py:339 iter_time; the
+            # scalar fetch above already synced the step)
+            tb_writer.add_scalar(
+                "iter_time", (time.time() - t_iter_start) * 1000.0, iteration
+            )
 
         # capacity pressure: grow when >90% full
         if iteration % 100 == 0:
@@ -400,7 +406,11 @@ def train(
             on_iteration(iteration, state, metrics)
 
         if iteration in test_iterations:
-            report_psnr(scene, state, raster_holder[0], model_cfg, iteration)
+            report_psnr(
+                scene, state, raster_holder[0], model_cfg, iteration,
+                tb_writer=tb_writer,
+                first_report=iteration == min(test_iterations, default=iteration),
+            )
 
         if iteration in save_iterations:
             print(f"\n[ITER {iteration}] Saving Gaussians")
@@ -487,8 +497,12 @@ def render_custom_cam(state: TrainState, cam, bg, scale_modifier: float = 1.0):
     return out.image
 
 
-def report_psnr(scene: Scene, state: TrainState, raster, model_cfg, iteration):
-    """In-training eval (training_report, train.py:334-401)."""
+def report_psnr(
+    scene: Scene, state: TrainState, raster, model_cfg, iteration,
+    tb_writer=None, first_report=False,
+):
+    """In-training eval (training_report, train.py:334-401): console L1/PSNR
+    plus TensorBoard view images, opacity histogram and point count."""
     bg = (
         np.array([1.0, 1.0, 1.0], np.float32)
         if model_cfg.white_background
@@ -502,11 +516,24 @@ def report_psnr(scene: Scene, state: TrainState, raster, model_cfg, iteration):
         if not cams:
             continue
         psnrs, l1s = [], []
-        for cam in cams:
+        for vi, cam in enumerate(cams):
             img, _ = render_camera(
                 state, cam, raster, bg, use_exposure=model_cfg.train_test_exp
             )
             gt = jnp.asarray(cam.image)
+            if tb_writer is not None and vi < 5:
+                # rendered views every test iteration, GT once (train.py:352-357)
+                tb_writer.add_images(
+                    f"{name}_view_{cam.image_name}/render",
+                    np.clip(np.asarray(img), 0, 1)[None],
+                    global_step=iteration,
+                )
+                if first_report:
+                    tb_writer.add_images(
+                        f"{name}_view_{cam.image_name}/ground_truth",
+                        np.clip(np.asarray(gt), 0, 1)[None],
+                        global_step=iteration,
+                    )
             if model_cfg.train_test_exp:  # evaluate right half (train.py:365-367)
                 img = img[..., img.shape[-1] // 2 :]
                 gt = gt[..., gt.shape[-1] // 2 :]
@@ -516,3 +543,12 @@ def report_psnr(scene: Scene, state: TrainState, raster, model_cfg, iteration):
             f"\n[ITER {iteration}] Evaluating {name}: L1 {np.mean(l1s):.5f} "
             f"PSNR {np.mean(psnrs):.2f}"
         )
+        if tb_writer is not None:
+            tb_writer.add_scalar(f"{name}/loss_viewpoint - l1_loss", np.mean(l1s), iteration)
+            tb_writer.add_scalar(f"{name}/loss_viewpoint - psnr", np.mean(psnrs), iteration)
+    if tb_writer is not None:
+        # opacity histogram over alive Gaussians (train.py:394-396)
+        alive = np.asarray(state.model.aux.alive) > 0
+        opac = jax.nn.sigmoid(np.asarray(state.model.params.opacities))[alive]
+        tb_writer.add_histogram("scene/opacity_histogram", np.asarray(opac), iteration)
+        tb_writer.add_scalar("total_points", int(alive.sum()), iteration)

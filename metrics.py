@@ -84,10 +84,25 @@ def main():
     parser.add_argument("--lpips_weights", type=str, default="")
     args = parser.parse_args()
     lpips_fn = None
-    if args.lpips_weights:
+    # resolution order: --lpips_weights, $GS_LPIPS_WEIGHTS, the conventional
+    # cache path.  See gaussian_splatting_tpu/ops/lpips.py for the .npz
+    # export recipe (torchvision VGG16 + richzhang linear heads).
+    import os
+
+    weights = (
+        args.lpips_weights
+        or os.environ.get("GS_LPIPS_WEIGHTS", "")
+        or os.path.expanduser("~/.cache/gs_lpips_vgg16.npz")
+    )
+    if os.path.exists(weights):
         from gaussian_splatting_tpu.ops.lpips import make_lpips
 
-        lpips_fn = make_lpips(args.lpips_weights)
+        lpips_fn = make_lpips(weights)
+    elif args.lpips_weights:
+        raise FileNotFoundError(args.lpips_weights)
+    else:
+        print("LPIPS weights not found; reporting LPIPS as null "
+              "(see ops/lpips.py for the weights recipe)")
     evaluate(args.model_paths, lpips_fn)
 
 

@@ -105,3 +105,41 @@ def test_checkpoint_roundtrip(dataset, tmp_path):
         np.asarray(state.model.params.means3d), np.asarray(state2.model.params.means3d)
     )
     assert int(state2.adam.count) == int(state.adam.count)
+
+
+def test_observability_events(dataset, tmp_path):
+    """TB parity: iter_time scalar, test-view images, opacity histogram
+    (reference training_report, train.py:336-398)."""
+    from gaussian_splatting_tpu.train.loop import train
+
+    class FakeWriter:
+        def __init__(self):
+            self.scalars, self.images, self.hists = set(), set(), set()
+
+        def add_scalar(self, tag, value, step):
+            assert np.isfinite(value)
+            self.scalars.add(tag)
+
+        def add_images(self, tag, img, global_step=None):
+            assert img.ndim == 4
+            self.images.add(tag)
+
+        def add_histogram(self, tag, values, step):
+            assert len(values) > 0
+            self.hists.add(tag)
+
+    writer = FakeWriter()
+    cfg = ModelConfig(
+        source_path=dataset, model_path=str(tmp_path / "model"), eval=True
+    )
+    opt = OptimizationConfig(iterations=8, densify_from_iter=100)
+    train(
+        cfg, opt, PipelineConfig(), test_iterations=(5,), save_iterations=(),
+        quiet=True, capacity=2048, seed=1, tb_writer=writer,
+    )
+    assert "iter_time" in writer.scalars
+    assert "train_loss_patches/total_loss" in writer.scalars
+    assert "test/loss_viewpoint - psnr" in writer.scalars
+    assert "scene/opacity_histogram" in writer.hists
+    assert any(t.startswith("test_view_") for t in writer.images)
+    assert any(t.endswith("/ground_truth") for t in writer.images)
