@@ -43,7 +43,7 @@ def morton_codes(points: jnp.ndarray) -> jnp.ndarray:
     ).astype(jnp.uint32)
 
 
-def knn_mean_sq_dist(points: jnp.ndarray, window: int = 16, k: int = 3) -> jnp.ndarray:
+def knn_mean_sq_dist(points: jnp.ndarray, window: int = 32, k: int = 3) -> jnp.ndarray:
     """Approximate mean of squared distances to the k nearest neighbors."""
     n = points.shape[0]
     code = morton_codes(points)
