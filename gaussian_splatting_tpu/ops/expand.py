@@ -1,0 +1,318 @@
+"""Pallas instance-expansion kernel: Gaussian table -> per-instance records.
+
+Replaces round 1's XLA chain (scatter-marks + cumsum + two row gathers,
+~45 ms/iter at bench scale) for the ``duplicateWithKeys`` role
+(rasterizer_impl.cu:78-126): every Gaussian's record is replicated once per
+overlapped tile, in *expansion order* (each Gaussian's instances contiguous).
+
+Key idea: expansion order makes the slot->Gaussian map MONOTONE, so a
+sequential-grid kernel can fetch a 256-row window of the table per 128-slot
+chunk and expand it ENTIRELY on the MXU:
+
+  geT[j, i]   = (offset[window j] <= slot i)            (256, 128) compare
+  onehotT     = geT - shift_down(geT)                   one 1.0 per column
+  out[f, i]   = table_T[f, window] @ onehotT            (16,256)@(256,128)
+
+The one-hot operand is exactly bf16; the table rides a 3-way bf16 split
+(hi+mid+lo covers all 24 f32 mantissa bits), so the expansion is EXACT — a
+requirement, because these records feed the blend kernel whose image parity
+budget vs the oracle is 2e-5.
+
+Boundedness: every Gaussian is given at least one instance (zero-tile
+Gaussians emit one *sentinel* instance with tile=num_tiles that sorts to the
+dropped tail), so 128 consecutive slots can span at most 128 table rows and
+the 256-row window (aligned down to a 128 boundary) always covers the chunk.
+
+The kernel also computes each instance's tile id (rect walk + exact
+circle-vs-tile cull, see ops/binning.py round-1 docstring) and depth key, so
+its outputs feed ``jax.lax.sort`` directly — the sort carries the 10 blend
+fields as payload operands, replacing the post-sort random row-gather.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Table column layout (P_pad, 16) — field-major transposed to (16, P_pad)
+# before the kernel (Mosaic cannot DMA row slices of 16-minor arrays).
+T_OFFSET = 0  # first instance slot (f32-exact integer)
+T_RECT_X = 1  # rect_min_x (tile units)
+T_RECT_Y = 2  # rect_min_y
+T_RECT_W = 3  # rect width in tiles, >= 1
+T_DEPTH = 4  # view depth; +inf marks invalid (sentinel-only) Gaussians
+T_MX = 5  # means2d x (pixels)
+T_MY = 6  # means2d y
+T_CUTR = 7  # opacity-aware cut radius (pixels)
+T_CA = 8  # conic a
+T_CB = 9  # conic b
+T_CC = 10  # conic c
+T_OP = 11  # opacity
+T_R = 12
+T_G = 13
+T_B = 14
+T_INVD = 15
+NUM_TCOLS = 16
+
+# Output meta row order == blend_pallas field order (F_X..F_INVD)
+_META_ROWS = (T_MX, T_MY, T_CA, T_CB, T_CC, T_OP, T_R, T_G, T_B, T_INVD)
+
+WINDOW = 256  # table rows fetched per 128-slot chunk
+CHUNK = 128
+
+# Finite "infinity" for table sentinels (pad-row offsets, invalid depths).
+# Must be finite: the expansion matmul's bf16 split turns inf into NaN
+# (inf - bf16(inf) = NaN), and 0*NaN poisons the MXU accumulation.  2^24 is
+# exact in f32/bf16 and exceeds every legal slot index and scene depth.
+BIG = float(1 << 24)
+
+
+def _split3(x):
+    """Exact 3-way bf16 split: x == hi + mid + lo (24 mantissa bits)."""
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    r1 = x - hi
+    mid = r1.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = r1 - mid
+    return hi, mid, lo
+
+
+def _dot_exact_rhs01(x, onehot):
+    """x @ onehot, exact when onehot is 0/1: 3 default-precision MXU passes."""
+    hi, mid, lo = _split3(x)
+    d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    return d(hi, onehot) + d(mid, onehot) + d(lo, onehot)
+
+
+def _expand_kernel(
+    base_ref,  # (nchunks,) int32 scalar prefetch: 128-aligned window base
+    table_hbm,  # (NUM_TCOLS, P_pad) HBM, field-major
+    tile_ref,  # out (1, CHUNK) int32
+    depth_ref,  # out (1, CHUNK) f32
+    g_ref,  # out (1, CHUNK) int32
+    meta_ref,  # out (NUM_TCOLS, CHUNK) f32
+    win_vmem,  # (2, NUM_TCOLS, WINDOW) VMEM scratch
+    sems,  # (2,) DMA semaphores
+    *,
+    nchunks: int,
+    grid_x: int,
+    grid_y: int,
+    tile_w: int,
+    tile_h: int,
+):
+    c = pl.program_id(0)
+    num_tiles = grid_x * grid_y
+
+    def win_dma(slot, cc):
+        base = pl.multiple_of(base_ref[cc], CHUNK)
+        return pltpu.make_async_copy(
+            table_hbm.at[:, pl.ds(base, WINDOW)],
+            win_vmem.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(c == 0)
+    def _():
+        win_dma(0, 0).start()
+
+    @pl.when(c + 1 < nchunks)
+    def _():
+        win_dma(jax.lax.rem(c + 1, 2), c + 1).start()
+
+    win_dma(jax.lax.rem(c, 2), c).wait()
+    win = win_vmem[jax.lax.rem(c, 2)]  # (NUM_TCOLS, WINDOW)
+
+    base = base_ref[c]
+    slot0 = c * CHUNK
+    # slots of this chunk, (1, CHUNK)
+    slot = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1) + slot0
+    ).astype(jnp.float32)
+
+    offs = win[T_OFFSET, :]  # (WINDOW,) f32-exact ints (BIG on pad rows)
+    # geT[j, i] = offset[j] <= slot[i]
+    geT = (offs[:, None] <= slot).astype(jnp.float32)  # (WINDOW, CHUNK)
+    # one-hot ownership: last j with offset[j] <= slot  ->  geT - down-shift
+    ge_below = jnp.concatenate(
+        [geT[1:, :], jnp.zeros((1, CHUNK), jnp.float32)], axis=0
+    )
+    onehotT = geT - ge_below  # exactly one 1.0 per column
+
+    rows = _dot_exact_rhs01(win, onehotT)  # (NUM_TCOLS, CHUNK) expanded
+
+    # g index: count of offsets <= slot, single exact pass (0/1 inputs)
+    counts = jnp.dot(
+        jnp.ones((1, WINDOW), jnp.float32), geT,
+        preferred_element_type=jnp.float32,
+    )  # (1, CHUNK)
+    g = base + counts.astype(jnp.int32) - 1
+
+    local = slot - rows[T_OFFSET : T_OFFSET + 1, :]  # (1, CHUNK)
+    w = rows[T_RECT_W : T_RECT_W + 1, :]
+    # local // w and local % w in f32: (local + 0.5) / w never lands on an
+    # integer for local < 2^22, w < 2^10, so floor is 1-ulp safe.
+    ty_off = jnp.floor((local + 0.5) / w)
+    tx_off = local - ty_off * w
+    ty = rows[T_RECT_Y : T_RECT_Y + 1, :] + ty_off
+    tx = rows[T_RECT_X : T_RECT_X + 1, :] + tx_off
+
+    # exact circle-vs-tile cull (ops/binning.py round 1): closest pixel
+    # center of the tile farther than cut_radius -> alpha < 1/255 everywhere
+    cx = rows[T_MX : T_MX + 1, :]
+    cy = rows[T_MY : T_MY + 1, :]
+    qx = jnp.clip(cx, tx * tile_w, tx * tile_w + (tile_w - 1))
+    qy = jnp.clip(cy, ty * tile_h, ty * tile_h + (tile_h - 1))
+    d2 = (qx - cx) ** 2 + (qy - cy) ** 2
+    cutr = rows[T_CUTR : T_CUTR + 1, :]
+    hit = d2 <= cutr * cutr
+
+    depth = rows[T_DEPTH : T_DEPTH + 1, :]
+    valid = hit & (depth < BIG)
+    tile = jnp.where(valid, ty * grid_x + tx, float(num_tiles))
+    depth_out = jnp.where(valid, depth, BIG)
+
+    tile_ref[...] = tile.astype(jnp.int32)
+    depth_ref[...] = depth_out
+    g_ref[...] = g
+    meta_rows = [rows[r : r + 1, :] for r in _META_ROWS]
+    meta_rows.append(jnp.zeros((NUM_TCOLS - len(_META_ROWS), CHUNK), jnp.float32))
+    meta_ref[...] = jnp.concatenate(meta_rows, axis=0)
+
+
+def expand_instances(
+    table_T: jnp.ndarray,  # (NUM_TCOLS, P_pad) field-major table
+    chunk_bases: jnp.ndarray,  # (nchunks,) int32, 128-aligned window starts
+    *,
+    capacity: int,
+    grid_x: int,
+    grid_y: int,
+    tile_w: int,
+    tile_h: int,
+    interpret: bool = False,
+):
+    """Expansion-order instance records + (tile, depth) sort keys + g.
+
+    Returns (tile (cap,) i32, depth (cap,) f32, g (cap,) i32,
+    meta (NUM_TCOLS, cap) f32 rows F_X..F_INVD).
+    """
+    assert capacity % CHUNK == 0
+    nchunks = capacity // CHUNK
+    assert chunk_bases.shape[0] == nchunks
+    kernel = functools.partial(
+        _expand_kernel,
+        nchunks=nchunks,
+        grid_x=grid_x,
+        grid_y=grid_y,
+        tile_w=tile_w,
+        tile_h=tile_h,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nchunks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=[
+            pl.BlockSpec((1, CHUNK), lambda c, b_: (0, c)),
+            pl.BlockSpec((1, CHUNK), lambda c, b_: (0, c)),
+            pl.BlockSpec((1, CHUNK), lambda c, b_: (0, c)),
+            pl.BlockSpec((NUM_TCOLS, CHUNK), lambda c, b_: (0, c)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, NUM_TCOLS, WINDOW), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    tile, depth, g, meta = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, capacity), jnp.int32),
+            jax.ShapeDtypeStruct((1, capacity), jnp.float32),
+            jax.ShapeDtypeStruct((1, capacity), jnp.int32),
+            jax.ShapeDtypeStruct((NUM_TCOLS, capacity), jnp.float32),
+        ],
+        interpret=interpret,
+    )(chunk_bases, table_T)
+    return tile[0], depth[0], g[0], meta
+
+
+# --------------------------------------------------------------------------
+# Alignment kernel: compact sorted stream -> chunk-aligned tile layout
+# --------------------------------------------------------------------------
+
+
+def _align_kernel(
+    src_ref,  # (n_out_chunks,) int32 scalar prefetch: compact src start/chunk
+    meta_hbm,  # (NUM_TCOLS, cap_padded) compact sorted records
+    out_ref,  # (NUM_TCOLS, CHUNK) aligned output block
+    win_vmem,  # (2, NUM_TCOLS, WINDOW)
+    sems,
+    *,
+    n_out_chunks: int,
+):
+    k = pl.program_id(0)
+
+    def win_dma(slot, kk):
+        base = pl.multiple_of(
+            (src_ref[kk] // CHUNK) * CHUNK, CHUNK
+        )
+        return pltpu.make_async_copy(
+            meta_hbm.at[:, pl.ds(base, WINDOW)],
+            win_vmem.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(k == 0)
+    def _():
+        win_dma(0, 0).start()
+
+    @pl.when(k + 1 < n_out_chunks)
+    def _():
+        win_dma(jax.lax.rem(k + 1, 2), k + 1).start()
+
+    win_dma(jax.lax.rem(k, 2), k).wait()
+    win = win_vmem[jax.lax.rem(k, 2)]  # (NUM_TCOLS, WINDOW)
+
+    r = src_ref[k] - (src_ref[k] // CHUNK) * CHUNK  # in [0, CHUNK)
+    # out[:, i] = win[:, r + i]: one-hot selector, exact 3-pass bf16 matmul
+    j = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, CHUNK), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, CHUNK), 1)
+    sel = (j == i + r).astype(jnp.float32)  # (WINDOW, CHUNK)
+    out_ref[...] = _dot_exact_rhs01(win, sel)
+
+
+def align_instances(
+    meta_compact: jnp.ndarray,  # (NUM_TCOLS, capacity + WINDOW pad)
+    src_starts: jnp.ndarray,  # (n_out_chunks,) compact offset per aligned chunk
+    *,
+    cap_aligned: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Relayout the compact sorted stream so every tile's range starts at a
+    multiple of CHUNK (the blend kernels' provably-aligned DMA requirement —
+    Mosaic rejects unaligned dynamic lane offsets).  Each output chunk is a
+    contiguous 128-slice of the input at an arbitrary offset, realized as an
+    aligned 256-window fetch + an exact one-hot lane rotation on the MXU.
+    """
+    assert cap_aligned % CHUNK == 0
+    n_out_chunks = cap_aligned // CHUNK
+    assert src_starts.shape[0] == n_out_chunks
+    kernel = functools.partial(_align_kernel, n_out_chunks=n_out_chunks)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_out_chunks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec((NUM_TCOLS, CHUNK), lambda k, s_: (0, k)),
+        scratch_shapes=[
+            pltpu.VMEM((2, NUM_TCOLS, WINDOW), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NUM_TCOLS, cap_aligned), jnp.float32),
+        interpret=interpret,
+    )(src_starts, meta_compact)

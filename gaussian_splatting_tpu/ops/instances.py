@@ -1,0 +1,254 @@
+"""Instance pipeline v2: expand -> payload sort -> aligned relayout.
+
+Round-2 redesign of ops/binning.py driven by measured XLA-on-TPU costs
+(tools/micro_sortgather*.py, DEVNOTES): random gathers/scatters run at
+~5-15 GB/s effective (latency-bound), while ``jax.lax.sort`` moves extra
+payload operands at ~1.85 ms per (2.25M,) f32 column — so ALL per-instance
+data movement rides the sort:
+
+  1. ``expand_instances`` (Pallas, ops/expand.py): Gaussian table ->
+     expansion-order records + (tile, depth) keys, replacing the round-1
+     scatter-marks + cumsum + two row gathers (~45 ms -> ~8 ms).
+  2. One 13-operand ``lax.sort`` carries the 10 blend fields + source index
+     with the keys (~25 ms), replacing the post-sort random row gather
+     (~21 ms) AND the separate 4-op key sort (~15 ms).
+  3. ``align_instances`` (Pallas): the compact sorted stream is re-laid to
+     chunk-aligned tile ranges with an exact one-hot lane rotation
+     (Mosaic rejects unaligned dynamic lane-offset DMAs, so the blend
+     kernels require 128-aligned tile starts).
+
+Sentinels: every Gaussian emits >= 1 instance (zero-tile Gaussians get one
+dropped sentinel with tile == num_tiles) so the expansion window stays
+bounded (see ops/expand.py).  Capacity accounting therefore includes +P.
+
+Reference semantics anchor: duplicateWithKeys -> RadixSort ->
+identifyTileRanges (rasterizer_impl.cu:309-350).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gaussian_splatting_tpu.ops import expand as ex
+from gaussian_splatting_tpu.ops.preprocess import ProjectedGaussians
+
+CHUNK = ex.CHUNK
+WINDOW = ex.WINDOW
+MAX_CAPACITY = 1 << 24  # f32-exact integer range
+
+
+class InstanceLayout(NamedTuple):
+    """Sorted, chunk-aligned instance records + everything the VJP needs."""
+
+    meta_aligned: jnp.ndarray  # (16, cap_aligned + CHUNK) blend-kernel records
+    tile_starts: jnp.ndarray  # (num_tiles,) int32, multiples of CHUNK
+    tile_ends: jnp.ndarray  # (num_tiles,) int32 = start + true count
+    total_aligned: jnp.ndarray  # () int32 — end of written aligned region
+    pos_aligned_of_exp: jnp.ndarray  # (capacity,) expansion slot -> aligned slot
+    flags_exp: jnp.ndarray  # (capacity,) f32 1.0 at each Gaussian's first slot
+    seg_ends: jnp.ndarray  # (P,) int32 expansion segment end per Gaussian
+    nonempty: jnp.ndarray  # (P,) bool — Gaussian owns >= 1 real instance
+    num_instances: jnp.ndarray  # () int32 real (non-sentinel) instance count
+    overflow: jnp.ndarray  # () bool
+
+
+def required_capacity(P: int, instance_slack: float) -> int:
+    """Instance-buffer size: slack*P real instances + P sentinels + margin."""
+    cap = int(instance_slack * P) + P + 1024
+    return -(-cap // CHUNK) * CHUNK
+
+
+def build_instances(
+    proj: ProjectedGaussians,
+    diff_fields: jnp.ndarray,  # (10, P): mx,my,ca,cb,cc,op,r,g,b,invd (diff)
+    *,
+    grid_x: int,
+    grid_y: int,
+    capacity: int,
+    tile_w: int,
+    tile_h: int,
+    grad_layout: bool = True,
+    interpret: bool = False,
+) -> InstanceLayout:
+    """proj supplies the non-differentiable binning geometry (callers pass
+    stop_gradient-ed projections); diff_fields carries the blend records the
+    custom VJP differentiates through."""
+    if capacity >= MAX_CAPACITY:
+        raise ValueError(f"instance capacity {capacity} exceeds f32-exact range")
+    assert capacity % CHUNK == 0
+    P = proj.tiles_touched.shape[0]
+    num_tiles = grid_x * grid_y
+
+    touched = proj.tiles_touched > 0
+    counts = jnp.where(touched, proj.tiles_touched, 1)  # sentinels
+    incl = jnp.cumsum(counts)
+    offsets = (incl - counts).astype(jnp.float32)
+    total_sent = incl[-1] if counts.size else jnp.int32(0)
+    overflow = total_sent > capacity
+
+    # ---- Gaussian table (16, P_pad), field-major ----
+    depth_key = jnp.where(touched & proj.valid, proj.depths, ex.BIG)
+    rect_w = jnp.maximum(proj.rect_max[:, 0] - proj.rect_min[:, 0], 1)
+    table_rows = [None] * ex.NUM_TCOLS
+    table_rows[ex.T_OFFSET] = offsets
+    table_rows[ex.T_RECT_X] = proj.rect_min[:, 0].astype(jnp.float32)
+    table_rows[ex.T_RECT_Y] = proj.rect_min[:, 1].astype(jnp.float32)
+    table_rows[ex.T_RECT_W] = rect_w.astype(jnp.float32)
+    table_rows[ex.T_DEPTH] = depth_key
+    table_rows[ex.T_MX] = diff_fields[0]
+    table_rows[ex.T_MY] = diff_fields[1]
+    table_rows[ex.T_CUTR] = proj.cut_radius
+    table_rows[ex.T_CA] = diff_fields[2]
+    table_rows[ex.T_CB] = diff_fields[3]
+    table_rows[ex.T_CC] = diff_fields[4]
+    table_rows[ex.T_OP] = diff_fields[5]
+    table_rows[ex.T_R] = diff_fields[6]
+    table_rows[ex.T_G] = diff_fields[7]
+    table_rows[ex.T_B] = diff_fields[8]
+    table_rows[ex.T_INVD] = diff_fields[9]
+    table = jnp.stack(table_rows, axis=0)  # (16, P)
+
+    # terminator column (owns every slot >= total) + BIG-offset pad columns
+    P_pad = -(-(P + 1) // CHUNK) * CHUNK + WINDOW
+    term = jnp.zeros((ex.NUM_TCOLS, 1), jnp.float32)
+    term = term.at[ex.T_OFFSET, 0].set(total_sent.astype(jnp.float32))
+    term = term.at[ex.T_DEPTH, 0].set(ex.BIG)
+    term = term.at[ex.T_RECT_W, 0].set(1.0)
+    term = term.at[ex.T_CUTR, 0].set(-1.0)
+    pad = jnp.zeros((ex.NUM_TCOLS, P_pad - P - 1), jnp.float32)
+    pad = pad.at[ex.T_OFFSET, :].set(ex.BIG)
+    pad = pad.at[ex.T_RECT_W, :].set(1.0)
+    table_T = jnp.concatenate([table, term, pad], axis=1)
+
+    # ---- per-chunk window bases: histogram of offsets by chunk ----
+    nchunks = capacity // CHUNK
+    offs_ext = jnp.concatenate(
+        [offsets, total_sent.astype(jnp.float32)[None]]
+    ).astype(jnp.int32)
+    hist = (
+        jnp.zeros((nchunks,), jnp.int32)
+        .at[offs_ext // CHUNK]
+        .add(1, mode="drop")
+    )
+    n_before = jnp.cumsum(hist) - hist  # exclusive
+    u = jnp.maximum(n_before - 1, 0)
+    chunk_bases = (u // CHUNK) * CHUNK
+
+    tile, depth, g_exp, meta_exp = ex.expand_instances(
+        table_T,
+        chunk_bases,
+        capacity=capacity,
+        grid_x=grid_x,
+        grid_y=grid_y,
+        tile_w=tile_w,
+        tile_h=tile_h,
+        interpret=interpret,
+    )
+
+    # ---- the payload sort ----
+    payload = tuple(meta_exp[i] for i in range(10))
+    if grad_layout:
+        src = jnp.arange(capacity, dtype=jnp.int32)
+        out = jax.lax.sort((tile, depth) + payload + (src,), num_keys=2, is_stable=True)
+        sorted_tile = out[0]
+        sorted_fields = out[2:12]
+        sorted_src = out[12]
+    else:
+        out = jax.lax.sort((tile, depth) + payload, num_keys=2, is_stable=True)
+        sorted_tile = out[0]
+        sorted_fields = out[2:12]
+        sorted_src = None
+
+    # ---- per-tile ranges via histogram (sorted scatter-add is fast) ----
+    tile_hist = (
+        jnp.zeros((num_tiles + 1,), jnp.int32)
+        .at[jnp.minimum(sorted_tile, num_tiles)]
+        .add(1)
+    )
+    counts_t = tile_hist[:num_tiles]
+    starts_t = (jnp.cumsum(counts_t) - counts_t).astype(jnp.int32)
+
+    aligned_counts = ((counts_t + CHUNK - 1) // CHUNK) * CHUNK
+    aligned_starts = (jnp.cumsum(aligned_counts) - aligned_counts).astype(jnp.int32)
+    total_aligned = (
+        (aligned_starts[-1] + aligned_counts[-1]).astype(jnp.int32)
+        if num_tiles
+        else jnp.int32(0)
+    )
+    cap_aligned = aligned_capacity(capacity, num_tiles)
+
+    # ---- compact sorted meta -> aligned relayout (Pallas rotate kernel) ----
+    zeros_rows = jnp.zeros((ex.NUM_TCOLS - 10, capacity), jnp.float32)
+    meta_compact = jnp.concatenate(
+        [jnp.stack(sorted_fields, axis=0), zeros_rows], axis=0
+    )
+    meta_compact = jnp.pad(meta_compact, ((0, 0), (0, WINDOW)))
+
+    # aligned chunk -> owning tile (monotone marks+cumsum), -> compact src
+    n_ach = cap_aligned // CHUNK
+    marks = (
+        jnp.zeros((n_ach,), jnp.int32)
+        .at[jnp.minimum(aligned_starts // CHUNK, n_ach - 1)]
+        .add(1, mode="drop")
+    )
+    t_of_chunk = jnp.cumsum(marks) - 1  # (n_ach,)
+    k128 = jnp.arange(n_ach, dtype=jnp.int32) * CHUNK
+    src_starts = (
+        starts_t[t_of_chunk] + (k128 - aligned_starts[t_of_chunk])
+    )
+    src_starts = jnp.clip(src_starts, 0, capacity)
+
+    meta_aligned = ex.align_instances(
+        meta_compact, src_starts, cap_aligned=cap_aligned, interpret=interpret
+    )
+    meta_aligned = jnp.pad(meta_aligned, ((0, 0), (0, CHUNK)))
+
+    # ---- gradient-layout bookkeeping ----
+    if grad_layout:
+        # shift (aligned - compact position) per sorted slot: piecewise
+        # constant per tile, built with one small scatter + a cumsum
+        delta = aligned_starts - starts_t
+        delta = jnp.concatenate([delta[:1], delta[1:] - delta[:-1]])
+        shift_sorted = jnp.cumsum(
+            jnp.zeros((capacity,), jnp.int32).at[starts_t].add(delta, mode="drop")
+        )
+        aligned_pos_sorted = jnp.arange(capacity, dtype=jnp.int32) + shift_sorted
+        # invert the sort permutation, carrying the aligned position along
+        _, pos_aligned_of_exp = jax.lax.sort(
+            (sorted_src, aligned_pos_sorted), num_keys=1
+        )
+        flags_exp = jnp.concatenate(
+            [
+                jnp.ones((1,), jnp.float32),
+                (g_exp[1:] != g_exp[:-1]).astype(jnp.float32),
+            ]
+        )
+    else:
+        pos_aligned_of_exp = jnp.zeros((capacity,), jnp.int32)
+        flags_exp = jnp.zeros((capacity,), jnp.float32)
+
+    seg_ends = jnp.minimum(incl, capacity).astype(jnp.int32)
+    seg_starts = jnp.minimum(incl - counts, capacity).astype(jnp.int32)
+    nonempty = touched & (seg_ends > seg_starts)
+
+    real_total = jnp.sum(proj.tiles_touched)
+
+    return InstanceLayout(
+        meta_aligned=meta_aligned,
+        tile_starts=aligned_starts,
+        tile_ends=aligned_starts + counts_t,
+        total_aligned=total_aligned,
+        pos_aligned_of_exp=pos_aligned_of_exp,
+        flags_exp=flags_exp,
+        seg_ends=seg_ends,
+        nonempty=nonempty,
+        num_instances=jnp.minimum(real_total, capacity).astype(jnp.int32),
+        overflow=overflow,
+    )
+
+
+def aligned_capacity(capacity: int, num_tiles: int) -> int:
+    return capacity + num_tiles * CHUNK

@@ -31,6 +31,7 @@ import numpy as np
 
 from gaussian_splatting_tpu.config import RasterizeConfig
 from gaussian_splatting_tpu.ops import blend_pallas as bp
+from gaussian_splatting_tpu.ops import instances as inst
 from gaussian_splatting_tpu.ops.binning import BinnedInstances, bin_gaussians
 from gaussian_splatting_tpu.ops.camera_math import CameraParams
 from gaussian_splatting_tpu.ops.oracle import render_dense
@@ -155,6 +156,98 @@ def _gather_instance_rows_bwd(res, ct):
 _gather_instance_rows.defvjp(_gather_instance_rows_fwd, _gather_instance_rows_bwd)
 
 
+@functools.lru_cache(maxsize=64)
+def _make_render_core(grid_x, grid_y, tile_w, tile_h, chunk, capacity, interpret):
+    """Round-2 fused rasterize core (custom_vjp spanning the whole
+    instance pipeline + blend kernels).
+
+    Forward: ops/instances.build_instances (Pallas expand -> 13-operand
+    payload sort -> Pallas aligned relayout) + the Pallas blend.
+    Backward: blend backward kernel -> per-instance grads reordered to
+    expansion order -> sequential segmented scan -> per-Gaussian field grads
+    (the atomicAdd-free replacement of backward.cu:592-609).
+    """
+    kw = dict(
+        grid_x=grid_x, grid_y=grid_y, tile_w=tile_w, tile_h=tile_h,
+        chunk=chunk, interpret=interpret,
+    )
+
+    def _forward(diff_fields, proj_sg, grad_layout):
+        layout = inst.build_instances(
+            proj_sg,
+            diff_fields,
+            grid_x=grid_x,
+            grid_y=grid_y,
+            capacity=capacity,
+            tile_w=tile_w,
+            tile_h=tile_h,
+            grad_layout=grad_layout,
+            interpret=interpret,
+        )
+        packed = bp.blend_forward_pallas(
+            layout.meta_aligned, layout.tile_starts, layout.tile_ends, **kw
+        )
+        return packed, layout
+
+    @jax.custom_vjp
+    def core(diff_fields, proj_sg):
+        packed, layout = _forward(diff_fields, proj_sg, True)
+        return packed, (layout.overflow, layout.num_instances)
+
+    def core_fwd(diff_fields, proj_sg):
+        packed, layout = _forward(diff_fields, proj_sg, True)
+        res = (
+            layout.meta_aligned,
+            layout.tile_starts,
+            layout.tile_ends,
+            layout.total_aligned,
+            layout.pos_aligned_of_exp,
+            layout.flags_exp,
+            layout.seg_ends,
+            layout.nonempty,
+            packed,
+            jax.tree_util.tree_map(_float0_zeros, proj_sg),
+        )
+        return (packed, (layout.overflow, layout.num_instances)), res
+
+    def core_bwd(res, ct):
+        from gaussian_splatting_tpu.ops.segscan import segmented_cumsum
+
+        (meta, starts, ends, total_aligned, pos_exp, flags, seg_ends,
+         nonempty, packed, proj_zeros) = res
+        ct_packed, _ = ct  # aux outputs (overflow, count) carry float0 cts
+        dmeta = bp.blend_backward_pallas(
+            meta, starts, ends, packed, ct_packed, **kw
+        )
+        cap_padded = dmeta.shape[1]
+        # aligned-order per-instance grads -> expansion order.  Slots whose
+        # aligned position falls outside the written region (sentinels and
+        # overflow-truncated instances) read 0.
+        safe_pos = jnp.minimum(pos_exp, cap_padded - 1)
+        # SELECT, not multiply: slots past the written region (sentinels,
+        # circle-culled instances, overflow) read uninitialized HBM — and
+        # NaN * 0 == NaN would leak it into real gradients.
+        e = jnp.where(
+            (pos_exp < total_aligned)[None, :], dmeta[:, safe_pos], 0.0
+        )
+        # Sequential segmented scan: exact zeros for zero-grad Gaussians
+        # (Adam turns gradient dust into full-size steps — see ops/segscan.py)
+        cs = segmented_cumsum(e, flags, interpret=interpret)
+        d_all = jnp.where(
+            nonempty[:, None], cs[:, jnp.maximum(seg_ends - 1, 0)].T, 0.0
+        )  # (P, 16)
+        d_fields = d_all.T[:10]  # (10, P)
+        return d_fields, proj_zeros
+
+    core.defvjp(core_fwd, core_bwd)
+
+    def core_inference(diff_fields, proj_sg):
+        packed, layout = _forward(diff_fields, proj_sg, False)
+        return packed, (layout.overflow, layout.num_instances)
+
+    return core, core_inference
+
+
 def _build_meta(proj: ProjectedGaussians, binned: BinnedInstances, chunk: int) -> jnp.ndarray:
     """Gather sorted instance records into the field-major (16, cap+chunk) array."""
     safe_depth = jnp.where(proj.valid, proj.depths, 1.0)
@@ -268,24 +361,34 @@ def render(
         raise ValueError(f"unknown rasterizer impl: {impl}")
 
     if capacity is None:
-        capacity = int(cfg.instance_slack * P) + 1024
-    capacity = -(-capacity // cfg.chunk) * cfg.chunk  # round up to chunk
+        capacity = inst.required_capacity(P, cfg.instance_slack)
+    else:
+        capacity = -(-capacity // cfg.chunk) * cfg.chunk
 
-    binned = bin_gaussians(
-        jax.tree_util.tree_map(jax.lax.stop_gradient, proj),
-        grid_x=grid_x,
-        grid_y=grid_y,
-        capacity=capacity,
-        chunk=cfg.chunk,
-        tile_w=tile_w,
-        tile_h=tile_h,
-        grad_layout=not inference,
-    )
-    meta = _build_meta(proj, binned, cfg.chunk)
+    proj_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, proj)
+    safe_depth = jnp.where(proj.valid, proj.depths, 1.0)
+    diff_fields = jnp.stack(
+        [
+            proj.means2d[:, 0],
+            proj.means2d[:, 1],
+            proj.conics[:, 0],
+            proj.conics[:, 1],
+            proj.conics[:, 2],
+            proj.opacities,
+            proj.colors[:, 0],
+            proj.colors[:, 1],
+            proj.colors[:, 2],
+            1.0 / safe_depth,
+        ],
+        axis=0,
+    )  # (10, P) — everything the blend differentiates through
 
     interpret = jax.default_backend() != "tpu"
-    core = _make_blend_core(grid_x, grid_y, tile_w, tile_h, cfg.chunk, interpret)
-    packed = core(meta, binned.tile_starts, binned.tile_ends, binned.total_aligned)
+    core, core_inference = _make_render_core(
+        grid_x, grid_y, tile_w, tile_h, cfg.chunk, capacity, interpret
+    )
+    fn = core_inference if inference else core
+    packed, (overflow, num_instances) = fn(diff_fields, proj_sg)
 
     img = _untile(packed, grid_x, grid_y, tile_w, tile_h, W, H)
     c_nobg = img[bp.O_R : bp.O_B + 1]
@@ -299,6 +402,6 @@ def render(
         final_T=T_img,
         radii=proj.radii,
         visibility=proj.radii > 0,
-        overflow=binned.overflow,
-        num_instances=binned.num_instances,
+        overflow=overflow,
+        num_instances=num_instances,
     )

@@ -1,0 +1,136 @@
+"""Instance pipeline v2 (expand kernel + payload sort + aligned relayout)
+vs the round-1 binning path: identical per-tile contents and blend records.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussian_splatting_tpu.ops import instances as inst
+from gaussian_splatting_tpu.ops.binning import bin_gaussians
+from gaussian_splatting_tpu.ops.preprocess import preprocess
+from gaussian_splatting_tpu.utils.testing import random_scene
+
+
+def _diff_fields(proj):
+    safe_depth = jnp.where(proj.valid, proj.depths, 1.0)
+    return jnp.stack(
+        [
+            proj.means2d[:, 0], proj.means2d[:, 1],
+            proj.conics[:, 0], proj.conics[:, 1], proj.conics[:, 2],
+            proj.opacities,
+            proj.colors[:, 0], proj.colors[:, 1], proj.colors[:, 2],
+            1.0 / safe_depth,
+        ],
+        axis=0,
+    )
+
+
+@pytest.mark.parametrize("seed,n", [(0, 300), (3, 57), (7, 1000)])
+def test_pipeline_matches_round1_binning(seed, n):
+    w, h = 96, 64
+    tile_w = tile_h = 16
+    grid_x, grid_y = w // tile_w, h // tile_h
+    scene = random_scene(n, sh_degree=1, width=w, height=h, seed=seed,
+                         spread=1.6, scale_range=(0.01, 0.12))
+    proj = preprocess(
+        scene.means3d, scene.scales, scene.quats, scene.opacities, scene.sh,
+        scene.cam, sh_degree=1, tile_w=tile_w, tile_h=tile_h,
+    )
+    capacity = inst.required_capacity(n, 12.0)
+
+    layout = inst.build_instances(
+        proj, _diff_fields(proj),
+        grid_x=grid_x, grid_y=grid_y, capacity=capacity,
+        tile_w=tile_w, tile_h=tile_h, interpret=True,
+    )
+    old = bin_gaussians(
+        proj, grid_x=grid_x, grid_y=grid_y, capacity=capacity,
+        chunk=128, tile_w=tile_w, tile_h=tile_h,
+    )
+
+    assert not bool(layout.overflow)
+    assert int(layout.num_instances) == int(old.num_instances)
+
+    starts_n = np.asarray(layout.tile_starts)
+    ends_n = np.asarray(layout.tile_ends)
+    old_starts = np.asarray(old.tile_starts)
+    old_ends = np.asarray(old.tile_ends)
+    np.testing.assert_array_equal(ends_n - starts_n, old_ends - old_starts)
+
+    # per-tile record parity: the old path gathers ids then fields; the new
+    # path carries fields through the sort.  Compare the (mx,my,...) rows.
+    meta_new = np.asarray(layout.meta_aligned)
+    fields = np.asarray(_diff_fields(proj))  # (10, P)
+    ids_old = np.asarray(old.gaussian_ids)
+    for t in range(grid_x * grid_y):
+        s, e = starts_n[t], ends_n[t]
+        got = meta_new[:10, s:e]
+        ref_ids = ids_old[old_starts[t]:old_ends[t]]
+        want = fields[:, ref_ids]
+        np.testing.assert_allclose(got, want, rtol=0, atol=0, err_msg=f"tile {t}")
+
+
+def test_expansion_segment_bookkeeping():
+    n = 120
+    w, h = 64, 48
+    scene = random_scene(n, sh_degree=0, width=w, height=h, seed=5)
+    proj = preprocess(
+        scene.means3d, scene.scales, scene.quats, scene.opacities, scene.sh,
+        scene.cam, sh_degree=0, tile_w=16, tile_h=16,
+    )
+    capacity = inst.required_capacity(n, 12.0)
+    layout = inst.build_instances(
+        proj, _diff_fields(proj),
+        grid_x=4, grid_y=3, capacity=capacity, tile_w=16, tile_h=16,
+        interpret=True,
+    )
+    counts = np.where(np.asarray(proj.tiles_touched) > 0,
+                      np.asarray(proj.tiles_touched), 1)
+    incl = np.cumsum(counts)
+    np.testing.assert_array_equal(np.asarray(layout.seg_ends), incl)
+    # flags mark exactly one segment start per Gaussian (incl. sentinels)
+    flags = np.asarray(layout.flags_exp)
+    n_segs_in_cap = int((incl - counts < capacity).sum())
+    assert flags.sum() >= n_segs_in_cap  # terminator tail may add segments
+    # aligned position map: valid slots land inside their tile's range
+    pos = np.asarray(layout.pos_aligned_of_exp)
+    assert pos.shape == (capacity,)
+
+
+def test_overflow_flag():
+    n = 200
+    scene = random_scene(n, sh_degree=0, width=64, height=64, seed=2,
+                         scale_range=(0.05, 0.3))
+    proj = preprocess(
+        scene.means3d, scene.scales, scene.quats, scene.opacities, scene.sh,
+        scene.cam, sh_degree=0, tile_w=16, tile_h=16,
+    )
+    layout = inst.build_instances(
+        proj, _diff_fields(proj),
+        grid_x=4, grid_y=4, capacity=256, tile_w=16, tile_h=16,
+        interpret=True,
+    )
+    assert bool(layout.overflow)
+
+
+def test_grads_finite_with_sentinels_and_culled_instances():
+    """Regression (round 2): expansion slots of sentinel instances and
+    circle-culled instances map past the written gradient region; masking
+    them with multiply leaked NaN (uninitialized HBM) into real gradients."""
+    from gaussian_splatting_tpu.ops.rasterize import render
+
+    scene = random_scene(400, sh_degree=2, width=128, height=96, seed=7,
+                         bg=(0.05, 0.05, 0.2))
+    op = jnp.clip(scene.opacities * 0.5, 0, 1)
+
+    def loss(op, impl):
+        o = render(scene.means3d, scene.scales, scene.quats, op, scene.sh,
+                   scene.cam, scene.bg, sh_degree=2, impl=impl)
+        return jnp.sum(o.image) * 1e-3
+
+    gd = jax.grad(loss)(op, "dense")
+    gp = jax.grad(loss)(op, "pallas")
+    assert int(jnp.isnan(gp).sum()) == 0
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gd), atol=3e-4)
