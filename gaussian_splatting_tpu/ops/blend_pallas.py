@@ -394,6 +394,26 @@ def blend_forward_pallas(
     return out[:num_tiles]
 
 
+def _split3(x):
+    """Exact 3-way bf16 split: x == hi + mid + lo (24 mantissa bits)."""
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    r1 = x - hi
+    mid = r1.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = r1 - mid
+    return hi, mid, lo
+
+
+def _dot_exact_rhs01(x, onehot):
+    """x @ onehot, exact when onehot is 0/1: 3 default-precision MXU passes.
+
+    Exactness matters twice here: zero columns stay EXACTLY zero (Adam turns
+    gradient dust into full steps), and nonzero grads keep all 24 mantissa
+    bits through the staging rotation."""
+    hi, mid, lo = _split3(x)
+    d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    return d(hi, onehot) + d(mid, onehot) + d(lo, onehot)
+
+
 # --------------------------------------------------------------------------
 # Backward
 # --------------------------------------------------------------------------
@@ -430,6 +450,113 @@ def _backward_kernel(
                 grad_hbm, state_ref, meta_vmem, grad_vmem, in_sems, out_sems,
                 tri, grid_x=grid_x, tile_w=tile_w, tile_h=tile_h, chunk=chunk,
             )
+
+
+def _bwd_chunk_math(
+    meta, c, n_in_chunk, T, Bq, px, py, ox, oy, Pmat, tri,
+    T_final, Ctot_q, dC_r, dC_g, dC_b, dinvd, ct_T, n_contrib, chunk, pix,
+):
+    """Per-chunk backward-replay math shared by the aligned- and compact-
+    output kernels.  Returns (gblock (16, chunk), T_new, Bq_new)."""
+    alpha, eligible, not_capped, G, dx, dy = _chunk_alpha(
+        meta, px, py, n_in_chunk, chunk
+    )
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (pix, chunk), 1)
+    pos = (c * chunk + lane).astype(jnp.float32)  # 0-based position
+    contrib = eligible & (pos < n_contrib)
+    a = jnp.where(contrib, alpha, 0.0)
+
+    om = 1.0 - a
+    # exclusive cumprod via exp(cumsum(log)) — the cumsum rides the MXU
+    # (x @ upper-triangular-ones == inclusive row cumsum); exclusive =
+    # inclusive minus self.  om == 1 exactly for non-contributing lanes
+    # (log 0), and contributing alphas are capped at 0.99 so log(om) is
+    # finite; the ~1e-7 relative rounding is far below grad tolerances.
+    lw = jnp.log(om)
+    cum_log = _dot_tri(lw, tri)
+    E = jnp.exp(cum_log - lw)
+    T_before = T * E  # true transmittance at each contributing instance
+    w = a * T_before
+
+    r = meta[F_R, :][None, :]
+    g = meta[F_G, :][None, :]
+    b = meta[F_B, :][None, :]
+    iv = meta[F_INVD, :][None, :]
+
+    # dC/da_k = c_k T_k - suffix_k/(1-a_k) - T_final*ct_T/(1-a_k), where
+    # suffix_k = C_total - prefix_incl(k)  (equivalent to the reference's
+    # accum_rec formulation, backward.cu:556-590).  The four per-channel
+    # suffixes collapse into ONE because the cotangents dC_c are constant
+    # per pixel:  sum_c dC_c * suffix_c(k) = suffix of w*q with
+    # q = r*dC_r + g*dC_g + b*dC_b + iv*dinvd — a single prefix sum.
+    q = r * dC_r + g * dC_g + b * dC_b + iv * dinvd
+    cq_in = Bq + _dot_tri(w * q, tri)
+    inv_om = 1.0 / om
+    dL_da = (
+        q * T_before
+        - (Ctot_q - cq_in) * inv_om
+        - T_final * inv_om * ct_T
+    )
+    dL_da = jnp.where(contrib, dL_da, 0.0)
+
+    op = meta[F_OP, :][None, :]
+    # alpha = min(0.99, op*G): zero grad through the capped branch.
+    gl = jnp.where(not_capped, op * dL_da, 0.0) * G
+
+    # ALL pixel reductions as two MXU contractions over the pixel axis:
+    #   s = Pmat^T @ gl -> per-instance moments [Σgl, Σgl·px, Σgl·py,
+    #       Σgl·px², Σgl·px·py, Σgl·py²] from which every conic/mean
+    #       gradient follows (per-instance factors pulled out of the sum),
+    #   cacc = [dC_r|dC_g|dC_b|dinvd]^T @ w -> the color/invdepth grads.
+    s = _dot3(Pmat, gl, (((0,), (0,)), ((), ())))  # (8, chunk)
+    s0 = s[0:1]
+    sx = s[1:2]
+    sy = s[2:3]
+    sxx = s[3:4]
+    sxy = s[4:5]
+    syy = s[5:6]
+
+    xl = meta[F_X : F_X + 1, :] - ox  # tile-local instance x, (1, chunk)
+    yl = meta[F_Y : F_Y + 1, :] - oy
+    ca = meta[F_CA : F_CA + 1, :]
+    cb = meta[F_CB : F_CB + 1, :]
+    cc = meta[F_CC : F_CC + 1, :]
+    # Σ gl·dx = xl·Σgl − Σgl·px, etc. (dx = xl − pxl)
+    gdx = xl * s0 - sx
+    gdy = yl * s0 - sy
+    gdxx = xl * xl * s0 - 2.0 * xl * sx + sxx
+    gdxy = xl * yl * s0 - xl * sy - yl * sx + sxy
+    gdyy = yl * yl * s0 - 2.0 * yl * sy + syy
+
+    dL_dx = -(ca * gdx + cb * gdy)
+    dL_dy = -(cc * gdy + cb * gdx)
+    dL_dca = -0.5 * gdxx
+    dL_dcb = -gdxy
+    dL_dcc = -0.5 * gdyy
+    # dL/dop = Σ_pix G·dL_da = Σgl / op (op = 0 lanes are ineligible -> 0)
+    op_row = meta[F_OP : F_OP + 1, :]
+    dL_dop = s0 * jnp.where(op_row > 0.0, 1.0 / jnp.maximum(op_row, 1e-30), 0.0)
+
+    ctmat = jnp.concatenate([dC_r, dC_g, dC_b, dinvd], axis=1)  # (pix, 4)
+    cacc = _dot3(ctmat, w, (((0,), (0,)), ((), ())))  # (4, chunk)
+    dL_dr = cacc[0:1]
+    dL_dg = cacc[1:2]
+    dL_db = cacc[2:3]
+    dL_div = cacc[3:4]
+
+    zrow = jnp.zeros_like(dL_dx)
+    gblock = jnp.concatenate(
+        [
+            dL_dx, dL_dy, dL_dca, dL_dcb, dL_dcc, dL_dop,
+            dL_dr, dL_dg, dL_db, dL_div,
+            zrow, zrow, zrow, zrow, zrow, zrow,
+        ],
+        axis=0,
+    )
+    T_new = T * jnp.exp(_last_lane(cum_log))
+    Bq_new = _last_lane(cq_in)
+    return gblock, T_new, Bq_new
 
 
 def _backward_one_tile(
@@ -519,127 +646,19 @@ def _backward_one_tile(
 
         meta = meta_vmem[slot]
         n_in_chunk = end - start - c * chunk
-        alpha, eligible, not_capped, G, dx, dy = _chunk_alpha(
-            meta, px, py, n_in_chunk, chunk
-        )
-
-        lane = jax.lax.broadcasted_iota(jnp.int32, (pix, chunk), 1)
-        pos = (c * chunk + lane).astype(jnp.float32)  # 0-based position
-        contrib = eligible & (pos < n_contrib)
-        a = jnp.where(contrib, alpha, 0.0)
-
-        om = 1.0 - a
-        # exclusive cumprod via exp(cumsum(log)) — the cumsum rides the MXU
-        # (x @ upper-triangular-ones == inclusive row cumsum); exclusive =
-        # inclusive minus self.  om == 1 exactly for non-contributing lanes
-        # (log 0), and contributing alphas are capped at 0.99 so log(om) is
-        # finite; the ~1e-7 relative rounding is far below grad tolerances.
-        lw = jnp.log(om)
-        cum_log = _dot_tri(lw, tri)
-        E = jnp.exp(cum_log - lw)
-        T_before = T * E  # true transmittance at each contributing instance
-        w = a * T_before
-
-        r = meta[F_R, :][None, :]
-        g = meta[F_G, :][None, :]
-        b = meta[F_B, :][None, :]
-        iv = meta[F_INVD, :][None, :]
-
-        # dC/da_k = c_k T_k - suffix_k/(1-a_k) - T_final*ct_T/(1-a_k), where
-        # suffix_k = C_total - prefix_incl(k)  (equivalent to the reference's
-        # accum_rec formulation, backward.cu:556-590).  The four per-channel
-        # suffixes collapse into ONE because the cotangents dC_c are constant
-        # per pixel:  sum_c dC_c * suffix_c(k) = suffix of w*q with
-        # q = r*dC_r + g*dC_g + b*dC_b + iv*dinvd — a single prefix sum.
-        q = r * dC_r + g * dC_g + b * dC_b + iv * dinvd
-        cq_in = Bq + _dot_tri(w * q, tri)
         Ctot_q = C_tot_r * dC_r + C_tot_g * dC_g + C_tot_b * dC_b + invd_tot * dinvd
-        inv_om = 1.0 / om
-        dL_da = (
-            q * T_before
-            - (Ctot_q - cq_in) * inv_om
-            - T_final * inv_om * ct_T
+        gblock, T_new, Bq_new = _bwd_chunk_math(
+            meta, c, n_in_chunk, T, Bq, px, py, ox, oy, Pmat, tri,
+            T_final, Ctot_q, dC_r, dC_g, dC_b, dinvd, ct_T, n_contrib,
+            chunk, pix,
         )
-        dL_da = jnp.where(contrib, dL_da, 0.0)
-
-        op = meta[F_OP, :][None, :]
-        # alpha = min(0.99, op*G): zero grad through the capped branch.
-        gl = jnp.where(not_capped, op * dL_da, 0.0) * G
-
-        # ALL pixel reductions as two MXU contractions over the pixel axis:
-        #   s = Pmat^T @ gl -> per-instance moments [Σgl, Σgl·px, Σgl·py,
-        #       Σgl·px², Σgl·px·py, Σgl·py²] from which every conic/mean
-        #       gradient follows (per-instance factors pulled out of the sum),
-        #   cacc = [dC_r|dC_g|dC_b|dinvd]^T @ w -> the color/invdepth grads.
-        s = _dot3(Pmat, gl, (((0,), (0,)), ((), ())))  # (8, chunk)
-        s0 = s[0:1]
-        sx = s[1:2]
-        sy = s[2:3]
-        sxx = s[3:4]
-        sxy = s[4:5]
-        syy = s[5:6]
-
-        xl = meta[F_X : F_X + 1, :] - ox  # tile-local instance x, (1, chunk)
-        yl = meta[F_Y : F_Y + 1, :] - oy
-        ca = meta[F_CA : F_CA + 1, :]
-        cb = meta[F_CB : F_CB + 1, :]
-        cc = meta[F_CC : F_CC + 1, :]
-        # Σ gl·dx = xl·Σgl − Σgl·px, etc. (dx = xl − pxl)
-        gdx = xl * s0 - sx
-        gdy = yl * s0 - sy
-        gdxx = xl * xl * s0 - 2.0 * xl * sx + sxx
-        gdxy = xl * yl * s0 - xl * sy - yl * sx + sxy
-        gdyy = yl * yl * s0 - 2.0 * yl * sy + syy
-
-        dL_dx = -(ca * gdx + cb * gdy)
-        dL_dy = -(cc * gdy + cb * gdx)
-        dL_dca = -0.5 * gdxx
-        dL_dcb = -gdxy
-        dL_dcc = -0.5 * gdyy
-        # dL/dop = Σ_pix G·dL_da = Σgl / op (op = 0 lanes are ineligible -> 0)
-        op_row = meta[F_OP : F_OP + 1, :]
-        dL_dop = s0 * jnp.where(op_row > 0.0, 1.0 / jnp.maximum(op_row, 1e-30), 0.0)
-
-        ctmat = jnp.concatenate([dC_r, dC_g, dC_b, dinvd], axis=1)  # (pix, 4)
-        cacc = _dot3(ctmat, w, (((0,), (0,)), ((), ())))  # (4, chunk)
-        dL_dr = cacc[0:1]
-        dL_dg = cacc[1:2]
-        dL_db = cacc[2:3]
-        dL_div = cacc[3:4]
-
-        zrow = jnp.zeros_like(dL_dx)
-        grad_vmem[slot] = jnp.concatenate(
-            [
-                dL_dx,
-                dL_dy,
-                dL_dca,
-                dL_dcb,
-                dL_dcc,
-                dL_dop,
-                dL_dr,
-                dL_dg,
-                dL_db,
-                dL_div,
-                zrow,
-                zrow,
-                zrow,
-                zrow,
-                zrow,
-                zrow,
-            ],
-            axis=0,
-        )
+        grad_vmem[slot] = gblock
         out_dma(slot, c).start()
 
-        new_state = jnp.concatenate(
-            [
-                T * jnp.exp(_last_lane(cum_log)),
-                _last_lane(cq_in),
-                jnp.zeros((pix, STATE_COLS - 2), jnp.float32),
-            ],
+        state_ref[:] = jnp.concatenate(
+            [T_new, Bq_new, jnp.zeros((pix, STATE_COLS - 2), jnp.float32)],
             axis=1,
         )
-        state_ref[:] = new_state
         return 0
 
     jax.lax.fori_loop(0, nchunks, body, 0)
@@ -652,6 +671,276 @@ def _backward_one_tile(
     @pl.when(nchunks > 0)
     def _():
         out_dma(jax.lax.rem(nchunks - 1, 2), nchunks - 1).wait()
+
+
+# --------------------------------------------------------------------------
+# Backward with COMPACT gradient output (round-2 path)
+# --------------------------------------------------------------------------
+#
+# The aligned layout the kernels READ has per-tile padding gaps; writing
+# gradients back in that layout forces the VJP to permute them with a random
+# lane gather (~35 ms/iter at bench scale).  Instead this variant streams
+# gradients out COMPACTLY (tile ranges butted together, matching the sorted
+# order), so the VJP reorders them with a cheap payload sort.  Because
+# Mosaic only allows 128-aligned dynamic DMA offsets and compact tile starts
+# are arbitrary, a rolling two-half staging buffer accumulates rotated
+# gradient blocks and flushes full 128-lane windows:
+#
+#   staging half h <-> compact window w (w % 2 == h)
+#   per chunk: rotate (16,128) grads by (dest % 128) via an exact one-hot
+#   matmul into (16,256), add both halves, flush window w when the stream
+#   head passes it.  Sequential grid => no write races; in-flight flushes
+#   are awaited before their half is touched again.
+
+_SM_CURW, _SM_PEND0, _SM_PEND1, _SM_WIN0, _SM_WIN1 = range(5)
+
+
+def _backward_kernel_compact(
+    starts_ref,  # aligned tile starts (scalar prefetch)
+    ends_ref,  # aligned tile ends
+    cstarts_ref,  # COMPACT tile starts
+    meta_hbm,
+    fwd_ref,
+    ct_ref,
+    grad_hbm,  # out (NUM_FIELDS, capacity + 2*CHUNK) compact
+    state_ref,
+    meta_vmem,
+    staging,  # (2, NUM_FIELDS, CHUNK) rolling output windows
+    in_sems,
+    flush_sems,  # (2,)
+    sm,  # SMEM (8,) int32 state: cur_w, pend0, pend1, win0, win1
+    *,
+    grid_x: int,
+    num_tiles: int,
+    tile_w: int,
+    tile_h: int,
+    chunk: int,
+    t_per: int,
+):
+    tri = _upper_tri(chunk)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        staging[...] = jnp.zeros_like(staging)
+        sm[_SM_CURW] = 0
+        sm[_SM_PEND0] = 0
+        sm[_SM_PEND1] = 0
+
+    def flush_copy(h, w):
+        return pltpu.make_async_copy(
+            staging.at[h],
+            grad_hbm.at[:, pl.ds(w * chunk, chunk)],
+            flush_sems.at[h],
+        )
+
+    for t in range(t_per):
+        tile_id = pl.program_id(0) * t_per + t
+
+        @pl.when(tile_id < num_tiles)
+        def _():
+            _backward_one_tile_compact(
+                tile_id, t, starts_ref, ends_ref, cstarts_ref, meta_hbm,
+                fwd_ref, ct_ref, state_ref, meta_vmem, staging, in_sems,
+                flush_sems, sm, flush_copy, tri,
+                grid_x=grid_x, tile_w=tile_w, tile_h=tile_h, chunk=chunk,
+            )
+
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _():
+        # drain: wait outstanding flushes, then write the final partial window
+        for h in (0, 1):
+            @pl.when(sm[_SM_PEND0 + h] == 1)
+            def _():
+                flush_copy(h, sm[_SM_WIN0 + h]).wait()
+                sm[_SM_PEND0 + h] = 0
+        cur_w = sm[_SM_CURW]
+        final = flush_copy(jax.lax.rem(cur_w, 2), cur_w)
+        final.start()
+        final.wait()
+
+
+def _backward_one_tile_compact(
+    tile_id, t, starts_ref, ends_ref, cstarts_ref, meta_hbm, fwd_ref, ct_ref,
+    state_ref, meta_vmem, staging, in_sems, flush_sems, sm, flush_copy, tri,
+    *, grid_x, tile_w, tile_h, chunk,
+):
+    pix = tile_w * tile_h
+    start = pl.multiple_of(starts_ref[tile_id], chunk)
+    end = ends_ref[tile_id]
+    cstart = cstarts_ref[tile_id]
+
+    px, py = _tile_pixel_coords(tile_id, grid_x, tile_w, tile_h)
+    ox = ((tile_id % grid_x) * tile_w).astype(jnp.float32)
+    oy = ((tile_id // grid_x) * tile_h).astype(jnp.float32)
+    pxl = px - ox
+    pyl = py - oy
+    ones_col = jnp.ones((pix, 1), jnp.float32)
+    Pmat = jnp.concatenate(
+        [ones_col, pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl,
+         jnp.zeros((pix, 2), jnp.float32)],
+        axis=1,
+    )
+
+    fwd = fwd_ref[t]
+    T_final = _col(fwd, O_T)
+    C_tot_r = _col(fwd, O_R)
+    C_tot_g = _col(fwd, O_G)
+    C_tot_b = _col(fwd, O_B)
+    invd_tot = _col(fwd, O_INVD)
+    n_contrib = _col(fwd, O_NCONTRIB)
+
+    ct = ct_ref[t]
+    dC_r = _col(ct, CT_R)
+    dC_g = _col(ct, CT_G)
+    dC_b = _col(ct, CT_B)
+    dinvd = _col(ct, CT_INVD)
+    ct_T = _col(ct, CT_BGDOT)
+    Ctot_q = C_tot_r * dC_r + C_tot_g * dC_g + C_tot_b * dC_b + invd_tot * dinvd
+
+    nchunks = pl.cdiv(end - start, chunk)
+
+    lane_s = jax.lax.broadcasted_iota(jnp.int32, (pix, STATE_COLS), 1)
+    state_ref[:] = jnp.where(lane_s == S_T, 1.0, 0.0)
+
+    def in_dma(slot, c):
+        return pltpu.make_async_copy(
+            meta_hbm.at[:, pl.ds(start + c * chunk, chunk)],
+            meta_vmem.at[slot],
+            in_sems.at[slot],
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        in_dma(0, 0).start()
+
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (chunk, 2 * chunk), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (chunk, 2 * chunk), 1)
+
+    def body(c, _):
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            in_dma(jax.lax.rem(c + 1, 2), c + 1).start()
+
+        in_dma(slot, c).wait()
+
+        st = state_ref[:]
+        T = _col(st, S_T)
+        Bq = _col(st, S_BQ)
+
+        meta = meta_vmem[slot]
+        n_in_chunk = end - start - c * chunk
+        gblock, T_new, Bq_new = _bwd_chunk_math(
+            meta, c, n_in_chunk, T, Bq, px, py, ox, oy, Pmat, tri,
+            T_final, Ctot_q, dC_r, dC_g, dC_b, dinvd, ct_T, n_contrib,
+            chunk, pix,
+        )
+        # lanes past the tile's true count are aligned-layout padding: they
+        # have no compact destination, so zero them before staging
+        gblock = jnp.where(lane_row < n_in_chunk, gblock, 0.0)
+
+        d0 = cstart + c * chunk
+        w0 = d0 // chunk
+        rot = d0 - w0 * chunk
+        # exact one-hot rotation into the two staging windows
+        sel = (jj == ii + rot).astype(jnp.float32)  # (chunk, 2*chunk)
+        rotg = _dot_exact_rhs01(gblock, sel)  # (NUM_FIELDS, 2*chunk)
+
+        # any pending flush on either half must land before we touch them
+        for h in (0, 1):
+            @pl.when(sm[_SM_PEND0 + h] == 1)
+            def _():
+                flush_copy(h, sm[_SM_WIN0 + h]).wait()
+                staging[h] = jnp.zeros_like(staging[h])
+                sm[_SM_PEND0 + h] = 0
+
+        hA = jax.lax.rem(w0, 2)
+        staging[hA] = staging[hA] + rotg[:, :chunk]
+        hB = 1 - hA
+        staging[hB] = staging[hB] + rotg[:, chunk:]
+
+        head = d0 + jnp.minimum(chunk, n_in_chunk)
+        cur_w = sm[_SM_CURW]
+
+        @pl.when(head // chunk > cur_w)
+        def _():
+            h = jax.lax.rem(cur_w, 2)
+            flush_copy(h, cur_w).start()
+            sm[_SM_PEND0 + h] = 1
+            sm[_SM_WIN0 + h] = cur_w
+            sm[_SM_CURW] = cur_w + 1
+
+        state_ref[:] = jnp.concatenate(
+            [T_new, Bq_new, jnp.zeros((pix, STATE_COLS - 2), jnp.float32)],
+            axis=1,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+
+
+def blend_backward_compact_pallas(
+    meta: jnp.ndarray,  # (NUM_FIELDS, cap_aligned + chunk) aligned records
+    tile_starts: jnp.ndarray,  # aligned starts (multiples of chunk)
+    tile_ends: jnp.ndarray,
+    compact_starts: jnp.ndarray,  # (num_tiles,) compact start per tile
+    fwd_packed: jnp.ndarray,
+    ct_packed: jnp.ndarray,
+    *,
+    capacity: int,
+    grid_x: int,
+    grid_y: int,
+    tile_w: int = 16,
+    tile_h: int = 16,
+    chunk: int = 128,
+    interpret: bool = False,
+    t_per: int = 4,
+) -> jnp.ndarray:
+    """Per-instance gradients in COMPACT sorted order,
+    shape (NUM_FIELDS, capacity + 2*chunk).  Slots past the valid stream end
+    are undefined; callers mask by compact position < n_valid."""
+    num_tiles = grid_x * grid_y
+    pix = tile_w * tile_h
+    nprog = -(-num_tiles // t_per)
+    pad = nprog * t_per - num_tiles
+    starts = jnp.pad(tile_starts.astype(jnp.int32), (0, pad))
+    ends = jnp.pad(tile_ends.astype(jnp.int32), (0, pad))
+    cstarts = jnp.pad(compact_starts.astype(jnp.int32), (0, pad))
+    fwd_p = jnp.pad(fwd_packed, ((0, pad), (0, 0), (0, 0)))
+    ct_p = jnp.pad(ct_packed, ((0, pad), (0, 0), (0, 0)))
+    kernel = functools.partial(
+        _backward_kernel_compact, grid_x=grid_x, num_tiles=num_tiles,
+        tile_w=tile_w, tile_h=tile_h, chunk=chunk, t_per=t_per,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nprog,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((t_per, pix, OUT_COLS), lambda i, s_, e_, c_: (i, 0, 0)),
+            pl.BlockSpec((t_per, pix, CT_COLS), lambda i, s_, e_, c_: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((pix, STATE_COLS), jnp.float32),
+            pltpu.VMEM((2, NUM_FIELDS, chunk), jnp.float32),
+            pltpu.VMEM((2, NUM_FIELDS, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((8,), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (NUM_FIELDS, capacity + 2 * chunk), jnp.float32
+        ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(starts, ends, cstarts, meta, fwd_p, ct_p)
 
 
 def blend_backward_pallas(

@@ -46,18 +46,22 @@ class InstanceLayout(NamedTuple):
     meta_aligned: jnp.ndarray  # (16, cap_aligned + CHUNK) blend-kernel records
     tile_starts: jnp.ndarray  # (num_tiles,) int32, multiples of CHUNK
     tile_ends: jnp.ndarray  # (num_tiles,) int32 = start + true count
-    total_aligned: jnp.ndarray  # () int32 — end of written aligned region
-    pos_aligned_of_exp: jnp.ndarray  # (capacity,) expansion slot -> aligned slot
+    starts_compact: jnp.ndarray  # (num_tiles,) int32 compact (gapless) starts
+    n_valid: jnp.ndarray  # () int32 — compact stream length (non-sentinel)
+    sorted_src: jnp.ndarray  # (capacity,) int32 expansion slot per sorted pos
     flags_exp: jnp.ndarray  # (capacity,) f32 1.0 at each Gaussian's first slot
     seg_ends: jnp.ndarray  # (P,) int32 expansion segment end per Gaussian
     nonempty: jnp.ndarray  # (P,) bool — Gaussian owns >= 1 real instance
-    num_instances: jnp.ndarray  # () int32 real (non-sentinel) instance count
+    num_instances: jnp.ndarray  # () int32 sentinel-inclusive slot demand
     overflow: jnp.ndarray  # () bool
 
 
 def required_capacity(P: int, instance_slack: float) -> int:
-    """Instance-buffer size: slack*P real instances + P sentinels + margin."""
-    cap = int(instance_slack * P) + P + 1024
+    """Instance-buffer size.  ``instance_slack`` must cover real instances
+    AND one sentinel per untouched Gaussian (``demand`` in the layout /
+    RenderResult.num_instances reports the sentinel-inclusive total, which
+    is what slack estimation measures)."""
+    cap = int(instance_slack * P) + 1024
     return -(-cap // CHUNK) * CHUNK
 
 
@@ -162,22 +166,17 @@ def build_instances(
         sorted_fields = out[2:12]
         sorted_src = None
 
-    # ---- per-tile ranges via histogram (sorted scatter-add is fast) ----
-    tile_hist = (
-        jnp.zeros((num_tiles + 1,), jnp.int32)
-        .at[jnp.minimum(sorted_tile, num_tiles)]
-        .add(1)
-    )
-    counts_t = tile_hist[:num_tiles]
-    starts_t = (jnp.cumsum(counts_t) - counts_t).astype(jnp.int32)
+    # ---- per-tile ranges: ONE searchsorted over the sorted keys.
+    # (A scatter-add histogram with 2.75M updates into 8k bins measured
+    # 24 ms/iter; 8k binary-search queries measure ~5 ms.)
+    starts_ext = jnp.searchsorted(
+        sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    starts_t = starts_ext[:num_tiles]
+    counts_t = starts_ext[1:] - starts_t
 
     aligned_counts = ((counts_t + CHUNK - 1) // CHUNK) * CHUNK
     aligned_starts = (jnp.cumsum(aligned_counts) - aligned_counts).astype(jnp.int32)
-    total_aligned = (
-        (aligned_starts[-1] + aligned_counts[-1]).astype(jnp.int32)
-        if num_tiles
-        else jnp.int32(0)
-    )
     cap_aligned = aligned_capacity(capacity, num_tiles)
 
     # ---- compact sorted meta -> aligned relayout (Pallas rotate kernel) ----
@@ -208,18 +207,6 @@ def build_instances(
 
     # ---- gradient-layout bookkeeping ----
     if grad_layout:
-        # shift (aligned - compact position) per sorted slot: piecewise
-        # constant per tile, built with one small scatter + a cumsum
-        delta = aligned_starts - starts_t
-        delta = jnp.concatenate([delta[:1], delta[1:] - delta[:-1]])
-        shift_sorted = jnp.cumsum(
-            jnp.zeros((capacity,), jnp.int32).at[starts_t].add(delta, mode="drop")
-        )
-        aligned_pos_sorted = jnp.arange(capacity, dtype=jnp.int32) + shift_sorted
-        # invert the sort permutation, carrying the aligned position along
-        _, pos_aligned_of_exp = jax.lax.sort(
-            (sorted_src, aligned_pos_sorted), num_keys=1
-        )
         flags_exp = jnp.concatenate(
             [
                 jnp.ones((1,), jnp.float32),
@@ -227,25 +214,24 @@ def build_instances(
             ]
         )
     else:
-        pos_aligned_of_exp = jnp.zeros((capacity,), jnp.int32)
+        sorted_src = jnp.zeros((capacity,), jnp.int32)
         flags_exp = jnp.zeros((capacity,), jnp.float32)
 
     seg_ends = jnp.minimum(incl, capacity).astype(jnp.int32)
     seg_starts = jnp.minimum(incl - counts, capacity).astype(jnp.int32)
     nonempty = touched & (seg_ends > seg_starts)
 
-    real_total = jnp.sum(proj.tiles_touched)
-
     return InstanceLayout(
         meta_aligned=meta_aligned,
         tile_starts=aligned_starts,
         tile_ends=aligned_starts + counts_t,
-        total_aligned=total_aligned,
-        pos_aligned_of_exp=pos_aligned_of_exp,
+        starts_compact=starts_t,
+        n_valid=starts_ext[num_tiles],
+        sorted_src=sorted_src,
         flags_exp=flags_exp,
         seg_ends=seg_ends,
         nonempty=nonempty,
-        num_instances=jnp.minimum(real_total, capacity).astype(jnp.int32),
+        num_instances=jnp.minimum(total_sent, capacity).astype(jnp.int32),
         overflow=overflow,
     )
 

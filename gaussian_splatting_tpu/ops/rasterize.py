@@ -200,8 +200,9 @@ def _make_render_core(grid_x, grid_y, tile_w, tile_h, chunk, capacity, interpret
             layout.meta_aligned,
             layout.tile_starts,
             layout.tile_ends,
-            layout.total_aligned,
-            layout.pos_aligned_of_exp,
+            layout.starts_compact,
+            layout.n_valid,
+            layout.sorted_src,
             layout.flags_exp,
             layout.seg_ends,
             layout.nonempty,
@@ -213,22 +214,31 @@ def _make_render_core(grid_x, grid_y, tile_w, tile_h, chunk, capacity, interpret
     def core_bwd(res, ct):
         from gaussian_splatting_tpu.ops.segscan import segmented_cumsum
 
-        (meta, starts, ends, total_aligned, pos_exp, flags, seg_ends,
+        (meta, starts, ends, cstarts, n_valid, sorted_src, flags, seg_ends,
          nonempty, packed, proj_zeros) = res
         ct_packed, _ = ct  # aux outputs (overflow, count) carry float0 cts
-        dmeta = bp.blend_backward_pallas(
-            meta, starts, ends, packed, ct_packed, **kw
+        # per-instance grads in COMPACT sorted order (staging-stream kernel)
+        dmeta = bp.blend_backward_compact_pallas(
+            meta, starts, ends, cstarts, packed, ct_packed,
+            capacity=capacity, **kw
         )
-        cap_padded = dmeta.shape[1]
-        # aligned-order per-instance grads -> expansion order.  Slots whose
-        # aligned position falls outside the written region (sentinels and
-        # overflow-truncated instances) read 0.
-        safe_pos = jnp.minimum(pos_exp, cap_padded - 1)
-        # SELECT, not multiply: slots past the written region (sentinels,
-        # circle-culled instances, overflow) read uninitialized HBM — and
-        # NaN * 0 == NaN would leak it into real gradients.
-        e = jnp.where(
-            (pos_exp < total_aligned)[None, :], dmeta[:, safe_pos], 0.0
+        # compact order -> expansion order rides a payload sort (the random
+        # lane gather this replaces measured ~35 ms/iter at bench scale).
+        # SELECT the valid stream first: slots past n_valid (sentinels,
+        # circle-culled instances, overflow) are uninitialized HBM, and
+        # NaN * 0 == NaN would leak into real gradients.
+        iota = jnp.arange(capacity, dtype=jnp.int32)
+        valid = iota < n_valid
+        rows = tuple(
+            jnp.where(valid, dmeta[i, :capacity], 0.0) for i in range(10)
+        )
+        sorted_out = jax.lax.sort((sorted_src,) + rows, num_keys=1)
+        e = jnp.concatenate(
+            [
+                jnp.stack(sorted_out[1:], axis=0),
+                jnp.zeros((bp.NUM_FIELDS - 10, capacity), jnp.float32),
+            ],
+            axis=0,
         )
         # Sequential segmented scan: exact zeros for zero-grad Gaussians
         # (Adam turns gradient dust into full-size steps — see ops/segscan.py)

@@ -88,7 +88,10 @@ def estimate_instance_slack(state, cams, raster, num_probe: int = 4) -> float:
             cam,
             sh_degree=model.max_sh_degree,
         )
-        return jnp.sum(proj.tiles_touched)
+        # sentinel-inclusive demand: untouched Gaussians still occupy one
+        # (dropped) instance slot each so the expansion window stays bounded
+        # (ops/instances.py)
+        return jnp.sum(jnp.maximum(proj.tiles_touched, 1))
 
     worst = 0
     step = max(1, len(cams) // num_probe)

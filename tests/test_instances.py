@@ -51,7 +51,8 @@ def test_pipeline_matches_round1_binning(seed, n):
     )
 
     assert not bool(layout.overflow)
-    assert int(layout.num_instances) == int(old.num_instances)
+    n_untouched = int((np.asarray(proj.tiles_touched) == 0).sum())
+    assert int(layout.num_instances) == int(old.num_instances) + n_untouched
 
     starts_n = np.asarray(layout.tile_starts)
     ends_n = np.asarray(layout.tile_ends)
@@ -94,9 +95,9 @@ def test_expansion_segment_bookkeeping():
     flags = np.asarray(layout.flags_exp)
     n_segs_in_cap = int((incl - counts < capacity).sum())
     assert flags.sum() >= n_segs_in_cap  # terminator tail may add segments
-    # aligned position map: valid slots land inside their tile's range
-    pos = np.asarray(layout.pos_aligned_of_exp)
-    assert pos.shape == (capacity,)
+    # the sort permutation is a bijection over instance slots
+    src_arr = np.asarray(layout.sorted_src)
+    assert sorted(src_arr.tolist()) == list(range(capacity))
 
 
 def test_overflow_flag():

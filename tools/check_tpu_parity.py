@@ -5,6 +5,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gaussian_splatting_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 from gaussian_splatting_tpu.config import RasterizeConfig
 from gaussian_splatting_tpu.ops.rasterize import render
 from gaussian_splatting_tpu.utils.testing import random_scene

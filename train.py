@@ -145,6 +145,9 @@ def main():
 
         jax.config.update("jax_debug_nans", True)
 
+    from gaussian_splatting_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     t0 = time.time()
     train(
         model_cfg,
