@@ -1,38 +1,214 @@
-"""Gaussian-sharded + tile-sharded rendering (SURVEY.md §7 phase B).
+"""Gaussian-sharded + tile-sharded rendering and training (SURVEY.md §7 B).
 
-The Gaussian axis is sharded over the mesh: each device preprocesses its own
-shard (projection/covariance/SH — the per-Gaussian FLOPs scale 1/n), the
-compact projected attributes are all-gathered over ICI, and each device
-bins + blends only its horizontal stripe of tiles, producing its slice of
-the image.  The backward follows automatically from autodiff through the
-collectives (grad of all_gather = reduce-scatter), so per-Gaussian parameter
-gradients land pre-sharded on their owner device.
+The Gaussian axis is sharded over the mesh; the image is sharded into
+horizontal stripes of tile rows.  Round-2 exchange: instead of all-gathering
+every projected Gaussian to every device (round 1, P x 56 B per device),
+each device packs the 64-byte records of ONLY the Gaussians that overlap
+each destination stripe and swaps them with a single ``all_to_all`` over
+ICI.  Most Gaussians overlap one stripe, so the per-device exchange volume
+is ~P/n x 64 B x (1 + boundary crossers) — an ~n/2x traffic reduction that
+grows with the mesh.
 
-This is the round-1 exchange strategy (gather projected Gaussians, ~56 B
-each); the planned round-2 upgrade is an instance all-to-all by tile
-ownership, which moves only the instances a stripe actually needs.
+Alpha compositing is order-dependent; sharding by *tiles* keeps each
+pixel's full blend list on one device, so no cross-device composition is
+ever needed (redistribute-then-sort, SURVEY.md §7).
 
-Alpha compositing is order-dependent; sharding by *tiles* (not by depth)
-keeps each pixel's full blend list on one device, so no cross-device
-composition is ever needed (redistribute-then-sort, SURVEY.md §7).
+``gshard_train_step`` is the full sharded analogue of train.step.train_step:
+per-shard preprocessing and densification stats, exchange + stripe blending,
+a replicated loss on the all-gathered image (exact parity with the
+single-device step, SSIM windows included), and a SHARDED Adam update — the
+optimizer state never leaves the Gaussian's owner device.
+
+The backward needs no hand-written communication: autodiff through
+``all_to_all`` emits the reverse exchange, and through ``all_gather`` a
+reduce-scatter (XLA inserts the collectives).
 """
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from gaussian_splatting_tpu.config import RasterizeConfig
+from gaussian_splatting_tpu.config import OptimizationConfig, RasterizeConfig
+from gaussian_splatting_tpu.models.densify import add_densification_stats
 from gaussian_splatting_tpu.ops import blend_pallas as bp
-from gaussian_splatting_tpu.ops.binning import bin_gaussians
 from gaussian_splatting_tpu.ops.camera_math import CameraParams
-from gaussian_splatting_tpu.ops.preprocess import preprocess
-from gaussian_splatting_tpu.ops.rasterize import _build_meta, _make_blend_core, _untile
+from gaussian_splatting_tpu.ops.expand import BIG
+from gaussian_splatting_tpu.ops.losses import (
+    depth_l1_loss,
+    l1_loss,
+    photometric_loss,
+)
+from gaussian_splatting_tpu.ops.preprocess import ProjectedGaussians, preprocess
+from gaussian_splatting_tpu.ops.rasterize import _make_render_core, _untile
+from gaussian_splatting_tpu.train.optim import (
+    adam_update,
+    exposure_lr,
+    group_lrs,
+)
+from gaussian_splatting_tpu.utils.schedules import expon_lr
+from gaussian_splatting_tpu.train.step import (
+    StepBatch,
+    TrainState,
+    apply_exposure,
+)
+
+# Exchange record layout: 10 differentiable blend fields (matching the
+# render core's diff_fields rows) + 6 stop-gradient geometry fields.
+R_DEPTH, R_RX0, R_RY0, R_RX1, R_RY1, R_CUTR = range(10, 16)
+REC_COLS = 16
+
+
+def _pack_records(proj: ProjectedGaussians) -> jnp.ndarray:
+    """(P_loc, 16) exchange records; cols 0-9 carry gradients."""
+    sg = jax.lax.stop_gradient
+    safe_depth = jnp.where(proj.valid, proj.depths, 1.0)
+    return jnp.stack(
+        [
+            proj.means2d[:, 0],
+            proj.means2d[:, 1],
+            proj.conics[:, 0],
+            proj.conics[:, 1],
+            proj.conics[:, 2],
+            proj.opacities,
+            proj.colors[:, 0],
+            proj.colors[:, 1],
+            proj.colors[:, 2],
+            1.0 / safe_depth,
+            sg(jnp.where(proj.valid & (proj.tiles_touched > 0), proj.depths, BIG)),
+            sg(proj.rect_min[:, 0].astype(jnp.float32)),
+            sg(proj.rect_min[:, 1].astype(jnp.float32)),
+            sg(proj.rect_max[:, 0].astype(jnp.float32)),
+            sg(proj.rect_max[:, 1].astype(jnp.float32)),
+            sg(proj.cut_radius),
+        ],
+        axis=1,
+    )
+
+
+def _exchange_records(rec, proj, *, n, grid_y_local, cap_x):
+    """Pack per-destination-stripe buffers and swap them with all_to_all.
+
+    Returns (flat (n*cap_x, 16) records for THIS device's stripe,
+    overflow flag).  Pad rows carry depth == BIG.
+    """
+    P_loc = rec.shape[0]
+    touched = proj.valid & (proj.tiles_touched > 0)
+    ry0 = proj.rect_min[:, 1]
+    ry1 = proj.rect_max[:, 1]
+    s0 = jnp.clip(ry0 // grid_y_local, 0, n - 1)
+    s1 = jnp.clip((ry1 - 1) // grid_y_local, 0, n - 1) + 1
+    s1 = jnp.where(touched, s1, s0)  # untouched: sent nowhere
+
+    iota = jnp.arange(P_loc, dtype=jnp.int32)
+    sends = []
+    counts = []
+    for e in range(n):
+        mask = touched & (s0 <= e) & (e < s1)
+        key = jnp.where(mask, 0, 1).astype(jnp.int32)
+        _, order = jax.lax.sort((key, iota), num_keys=1, is_stable=True)
+        idx = order[: cap_x]
+        rows = rec[idx]
+        ok = mask[idx]
+        rows = jnp.where(
+            (jnp.arange(REC_COLS) == R_DEPTH)[None, :] & (~ok)[:, None],
+            BIG,
+            rows,
+        )
+        sends.append(rows)
+        counts.append(jnp.sum(mask))
+    send = jnp.stack(sends)  # (n, cap_x, 16)
+    overflow = jnp.max(jnp.stack(counts)) > cap_x
+
+    recv = jax.lax.all_to_all(
+        send, "data", split_axis=0, concat_axis=0, tiled=True
+    )
+    return recv.reshape(n * cap_x, REC_COLS), overflow
+
+
+def _stripe_from_records(flat, *, d, n, grid_x, grid_y_local, tile_w, tile_h,
+                         capacity_dev, cfg, bg_color, interpret,
+                         inference=False):
+    """Blend THIS device's stripe from received records.
+
+    Returns the packed stripe image rows (OUT_COLS planes) plus
+    (overflow, num_instances)."""
+    y0_tiles = d * grid_y_local
+    depths = flat[:, R_DEPTH]
+    valid = depths < BIG
+    ry0 = jnp.clip(flat[:, R_RY0].astype(jnp.int32) - y0_tiles, 0, grid_y_local)
+    ry1 = jnp.clip(flat[:, R_RY1].astype(jnp.int32) - y0_tiles, 0, grid_y_local)
+    rx0 = flat[:, R_RX0].astype(jnp.int32)
+    rx1 = flat[:, R_RX1].astype(jnp.int32)
+    tiles = jnp.where(valid, (rx1 - rx0) * (ry1 - ry0), 0)
+
+    y_shift = jnp.float32(y0_tiles * tile_h)
+    diff_fields = jnp.concatenate(
+        [
+            flat[:, 0:1].T,
+            flat[:, 1:2].T - y_shift,
+            flat[:, 2:10].T,
+        ],
+        axis=0,
+    )  # (10, n*cap_x), differentiable back through the all_to_all
+
+    Pn = flat.shape[0]
+    zeros2 = jnp.zeros((Pn, 2), jnp.float32)
+    pseudo = ProjectedGaussians(
+        means2d=jnp.stack([flat[:, 0], flat[:, 1] - y_shift], axis=1),
+        depths=depths,
+        conics=jnp.zeros((Pn, 3), jnp.float32),
+        opacities=jnp.zeros((Pn,), jnp.float32),
+        colors=jnp.zeros((Pn, 3), jnp.float32),
+        radii=jnp.zeros((Pn,), jnp.int32),
+        rect_min=jnp.stack([rx0, ry0], axis=1),
+        rect_max=jnp.stack([rx1, ry1], axis=1),
+        tiles_touched=tiles.astype(jnp.int32),
+        valid=valid,
+        cut_radius=flat[:, R_CUTR],
+    )
+    pseudo = jax.tree_util.tree_map(jax.lax.stop_gradient, pseudo)
+    del zeros2
+
+    core, core_inference = _make_render_core(
+        grid_x, grid_y_local, tile_w, tile_h, cfg.chunk, capacity_dev,
+        interpret,
+    )
+    fn = core_inference if inference else core
+    packed, (ovf, ninst) = fn(diff_fields, pseudo)
+    img = _untile(
+        packed, grid_x, grid_y_local, tile_w, tile_h,
+        grid_x * tile_w, grid_y_local * tile_h,
+    )
+    c_nobg = img[bp.O_R : bp.O_B + 1]
+    T_img = img[bp.O_T]
+    invd = img[bp.O_INVD]
+    color = c_nobg + T_img[None] * bg_color[:, None, None]
+    return color, invd, ovf, ninst
+
+
+def _geometry(cam, cfg, n):
+    tile_w, tile_h = cfg.tile_w, cfg.tile_h
+    grid_x = (cam.width + tile_w - 1) // tile_w
+    grid_y_total = -(-cam.height // tile_h)
+    grid_y_total = -(-grid_y_total // n) * n
+    return tile_w, tile_h, grid_x, grid_y_total // n
+
+
+def _capacities(P_total, n, cfg, cap_x, capacity_per_device):
+    if cap_x <= 0:
+        cap_x = max(256, 2 * P_total // (n * n) + 128)
+    cap_x = min(cap_x, P_total // n)  # cannot send more than the local shard
+    if capacity_per_device <= 0:
+        capacity_per_device = int(cfg.instance_slack * P_total) // n + n * cap_x + 1024
+    capacity_per_device = -(-capacity_per_device // cfg.chunk) * cfg.chunk
+    return cap_x, capacity_per_device
 
 
 def render_gaussian_sharded(
@@ -48,76 +224,35 @@ def render_gaussian_sharded(
     sh_degree: int,
     cfg: RasterizeConfig = RasterizeConfig(),
     capacity_per_device: int = 0,
+    exchange_capacity: int = 0,
 ) -> jnp.ndarray:
-    """Distributed render; returns the assembled (3, H, W) image.
-
-    The Gaussian count must divide the mesh size; the image height is padded
-    so each device owns an equal stripe of tile rows.
-    """
+    """Distributed render; returns the assembled (3, H, W) image."""
     n = mesh.devices.size
-    tile_w, tile_h = cfg.tile_w, cfg.tile_h
+    tile_w, tile_h, grid_x, grid_y_local = _geometry(cam, cfg, n)
     W, H = cam.width, cam.height
-    grid_x = (W + tile_w - 1) // tile_w
-    grid_y_total = -(-H // tile_h)
-    grid_y_total = -(-grid_y_total // n) * n  # pad so stripes are equal
-    grid_y_local = grid_y_total // n
     P_total = means3d.shape[0]
-    if capacity_per_device <= 0:
-        capacity_per_device = int(cfg.instance_slack * P_total) // n + 1024
-    capacity_per_device = -(-capacity_per_device // cfg.chunk) * cfg.chunk
-
+    cap_x, capacity_dev = _capacities(
+        P_total, n, cfg, exchange_capacity, capacity_per_device
+    )
     interpret = jax.default_backend() != "tpu"
-    core = _make_blend_core(grid_x, grid_y_local, tile_w, tile_h, cfg.chunk, interpret)
 
     def body(m, s, q, o, shs):
-        # --- per-Gaussian stage on the local shard ---
-        proj_local = preprocess(
+        proj = preprocess(
             m, s, q, o, shs, cam,
             sh_degree=sh_degree, tile_w=tile_w, tile_h=tile_h,
             antialiasing=cfg.antialiasing,
         )
-        # --- gather compact projected attributes over ICI ---
-        proj = jax.tree_util.tree_map(
-            lambda x: jax.lax.all_gather(x, "data", tiled=True), proj_local
+        rec = _pack_records(proj)
+        flat, _xovf = _exchange_records(
+            rec, proj, n=n, grid_y_local=grid_y_local, cap_x=cap_x
         )
-        # --- clip tile rects to this device's stripe of tile rows ---
         d = jax.lax.axis_index("data")
-        y0 = d * grid_y_local
-        rmin = proj.rect_min
-        rmax = proj.rect_max
-        ry_min = jnp.clip(rmin[:, 1] - y0, 0, grid_y_local)
-        ry_max = jnp.clip(rmax[:, 1] - y0, 0, grid_y_local)
-        tiles = (rmax[:, 0] - rmin[:, 0]) * (ry_max - ry_min)
-        # shift screen-space means into the stripe's local pixel frame (the
-        # blend kernel derives pixel coords from local tile ids)
-        y_shift = (y0 * tile_h).astype(jnp.float32)
-        means2d_local = proj.means2d - jnp.stack(
-            [jnp.zeros_like(y_shift), y_shift]
-        )[None, :]
-        proj = proj._replace(
-            means2d=means2d_local,
-            rect_min=jnp.stack([rmin[:, 0], ry_min], axis=-1),
-            rect_max=jnp.stack([rmax[:, 0], ry_max], axis=-1),
-            tiles_touched=jnp.where(proj.valid, tiles, 0),
+        color, _invd, _ovf, _ni = _stripe_from_records(
+            flat, d=d, n=n, grid_x=grid_x, grid_y_local=grid_y_local,
+            tile_w=tile_w, tile_h=tile_h, capacity_dev=capacity_dev,
+            cfg=cfg, bg_color=bg_color, interpret=interpret,
         )
-        binned = bin_gaussians(
-            jax.tree_util.tree_map(jax.lax.stop_gradient, proj),
-            grid_x=grid_x,
-            grid_y=grid_y_local,
-            capacity=capacity_per_device,
-            chunk=cfg.chunk,
-            tile_w=tile_w,
-            tile_h=tile_h,
-        )
-        meta = _build_meta(proj, binned, cfg.chunk)
-        packed = core(meta, binned.tile_starts, binned.tile_ends, binned.total_aligned)
-        img = _untile(
-            packed, grid_x, grid_y_local, tile_w, tile_h,
-            grid_x * tile_w, grid_y_local * tile_h,
-        )
-        c_nobg = img[bp.O_R : bp.O_B + 1]
-        T_img = img[bp.O_T]
-        return c_nobg + T_img[None] * bg_color[:, None, None]
+        return color
 
     out = shard_map(
         body,
@@ -127,3 +262,176 @@ def render_gaussian_sharded(
         check_vma=False,
     )(means3d, scales, quats, opacities, sh)
     return jnp.clip(out[:, :H, :W], 0.0, 1.0)
+
+
+def gshard_train_step(
+    state: TrainState,
+    cam: CameraParams,
+    batch: StepBatch,
+    mesh: Mesh,
+    *,
+    opt: OptimizationConfig,
+    raster: RasterizeConfig,
+    use_exposure: bool = False,
+    use_depth: bool = False,
+    exchange_capacity: int = 0,
+    capacity_per_device: int = 0,
+) -> Tuple[TrainState, dict]:
+    """Full sharded training step (train.step.train_step parity).
+
+    TrainState per-Gaussian arrays must be sharded over ``mesh`` axis
+    'data' on their capacity axis (capacity divisible by the mesh size);
+    exposures/step stay replicated.  The loss is computed on the
+    all-gathered image so it (and SSIM's cross-stripe windows) matches the
+    single-device step exactly; Adam runs shard-local.
+    """
+    model = state.model
+    step = state.step + 1
+    n = mesh.devices.size
+    tile_w, tile_h, grid_x, grid_y_local = _geometry(cam, raster, n)
+    W, H = cam.width, cam.height
+    P_total = model.capacity
+    cap_x, capacity_dev = _capacities(
+        P_total, n, raster, exchange_capacity, capacity_per_device
+    )
+    interpret = jax.default_backend() != "tpu"
+    sh_degree = model.max_sh_degree
+
+    def body(params, alive, exposures, sh_deg):
+        def loss_fn(p, exposures, tap):
+            sh = jnp.concatenate([p.features_dc, p.features_rest], axis=1)
+            K = sh.shape[1]
+            degs = jnp.floor(
+                jnp.sqrt(jnp.arange(K, dtype=jnp.float32))
+            ).astype(jnp.int32)
+            sh = jnp.where((degs <= sh_deg)[None, :, None], sh, 0.0)
+            proj = preprocess(
+                p.means3d,
+                jnp.exp(p.scales),
+                p.quats / jnp.linalg.norm(p.quats, axis=-1, keepdims=True),
+                jax.nn.sigmoid(p.opacities) * alive,
+                sh,
+                cam,
+                sh_degree=sh_degree,
+                tile_w=tile_w,
+                tile_h=tile_h,
+                antialiasing=raster.antialiasing,
+            )
+            # densification gradient tap in NDC units (rasterize.render)
+            ndc_scale = jnp.array([0.5 * W, 0.5 * H], jnp.float32)
+            proj = proj._replace(means2d=proj.means2d + tap * ndc_scale)
+            rec = _pack_records(proj)
+            flat, xovf = _exchange_records(
+                rec, proj, n=n, grid_y_local=grid_y_local, cap_x=cap_x
+            )
+            d = jax.lax.axis_index("data")
+            color, invd, ovf, ninst = _stripe_from_records(
+                flat, d=d, n=n, grid_x=grid_x, grid_y_local=grid_y_local,
+                tile_w=tile_w, tile_h=tile_h, capacity_dev=capacity_dev,
+                cfg=raster, bg_color=batch.bg_color, interpret=interpret,
+            )
+            # assemble the full image (grad of all_gather = reduce-scatter)
+            full = jax.lax.all_gather(color, "data", axis=1, tiled=True)
+            full_invd = jax.lax.all_gather(invd, "data", axis=0, tiled=True)
+            image = jnp.clip(full[:, :H, :W], 0.0, 1.0)
+            invdepth = full_invd[:H, :W]
+            if use_exposure:
+                image = apply_exposure(image, exposures[batch.exposure_idx])
+            image = image * batch.alpha_mask
+            gt = batch.gt_image * batch.alpha_mask
+            loss = photometric_loss(image, gt, opt.lambda_dssim)
+            depth_loss = jnp.float32(0.0)
+            if use_depth:
+                w_ = expon_lr(
+                    step,
+                    lr_init=opt.depth_l1_weight_init,
+                    lr_final=opt.depth_l1_weight_final,
+                    max_steps=opt.iterations,
+                )
+                depth_loss = w_ * depth_l1_loss(
+                    invdepth, batch.invdepth_gt, batch.depth_mask
+                )
+                loss = loss + depth_loss
+            aux_out = {
+                "radii": proj.radii,
+                "overflow": ovf | xovf,
+                "num_instances": jax.lax.psum(ninst, "data"),
+                "l1": l1_loss(image, gt),
+                "depth_loss": depth_loss,
+            }
+            return loss, aux_out
+
+        P_loc = params.means3d.shape[0]
+        tap = jnp.zeros((P_loc, 2), jnp.float32)
+        (loss, aux_out), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True
+        )(params, exposures, tap)
+        g_params, g_exp, g_tap = grads
+        overflow = jax.lax.pmax(
+            aux_out["overflow"].astype(jnp.int32), "data"
+        )
+        return (
+            loss, g_params, g_exp, g_tap, aux_out["radii"], overflow,
+            aux_out["num_instances"], aux_out["l1"], aux_out["depth_loss"],
+        )
+
+    param_specs = jax.tree_util.tree_map(lambda _: P("data"), model.params)
+    (loss, g_params, g_exp, g_tap, radii, overflow, ninst, l1v, dloss) = (
+        shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(param_specs, P("data"), P(), P()),
+            out_specs=(
+                P(), param_specs, P(), P("data"), P("data"), P(), P(), P(),
+                P(),
+            ),
+            check_vma=False,
+        )(model.params, model.aux.alive, state.exposures, model.sh_degree)
+    )
+
+    # ---- shard-local optimizer (arrays stay sharded under jit) ----
+    alive = model.aux.alive
+    g_params = jax.tree_util.tree_map(
+        lambda g: g * alive.reshape((-1,) + (1,) * (g.ndim - 1)), g_params
+    )
+    lrs = group_lrs(opt, step, model.spatial_lr_scale)
+    visible = radii > 0 if opt.optimizer_type == "sparse_adam" else None
+    new_params, new_adam = adam_update(
+        g_params, state.adam, model.params, lrs, visible=visible
+    )
+    e_lr = exposure_lr(opt, step)
+    if use_exposure:
+        new_exp, new_exp_adam = adam_update(
+            g_exp, state.exp_adam, state.exposures, e_lr
+        )
+    else:
+        new_exp, new_exp_adam = state.exposures, state.exp_adam
+
+    new_aux = add_densification_stats(model.aux, g_tap, radii)
+    new_model = dataclasses.replace(model, params=new_params, aux=new_aux)
+    new_state = TrainState(
+        model=new_model,
+        adam=new_adam,
+        exposures=new_exp,
+        exp_adam=new_exp_adam,
+        step=step,
+    )
+    metrics = {
+        "loss": loss,
+        "l1": l1v,
+        "depth_loss": dloss,
+        "overflow": overflow,
+        "num_instances": ninst,
+        "num_alive": new_model.num_alive(),
+        "packed": jnp.stack(
+            [
+                loss,
+                l1v,
+                dloss,
+                overflow.astype(jnp.float32),
+                ninst.astype(jnp.float32),
+                new_model.num_alive().astype(jnp.float32),
+            ]
+        ),
+    }
+    return new_state, metrics

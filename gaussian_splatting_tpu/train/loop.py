@@ -368,10 +368,23 @@ def train(
             cap_now = int(
                 raster_holder[0].instance_slack * state.model.capacity
             )
+            new_slack = None
             if max_demand > 0.7 * cap_now:
                 new_slack = raster_holder[0].instance_slack * 1.5
+            elif (
+                iteration % 500 == 0
+                and max_demand > 0
+                and max_demand < 0.3 * cap_now
+            ):
+                # shrink too: early blobs can demand 50+ instances/Gaussian;
+                # once pruning/shrinking bites, a pinned-high slack taxes the
+                # per-instance stages (sort etc.) for the whole schedule
+                new_slack = max(2.2 * max_demand / state.model.capacity, 2.0)
+                if new_slack >= raster_holder[0].instance_slack:
+                    new_slack = None
+            if new_slack is not None:
                 print(
-                    f"[it {iteration}] instance demand {max_demand} > 70% of "
+                    f"[it {iteration}] instance demand {max_demand} vs cap "
                     f"{cap_now}: instance_slack -> {new_slack:.1f}"
                 )
                 raster_holder[0] = dataclasses.replace(

@@ -134,3 +134,49 @@ def test_dp_loss_matches_single_camera_mean():
         _, m = fn(state, cam, b)
         losses.append(float(m["loss"]))
     assert abs(float(metrics["loss"]) - np.mean(losses)) < 1e-5
+
+
+def test_gshard_train_step_matches_single_device():
+    """VERDICT round-1 item 5: sharded training step parity.
+
+    The sharded step exchanges instances by tile ownership (all_to_all),
+    computes the loss on the all-gathered image (exact SSIM parity), and
+    runs Adam shard-locally.  Three steps of loss trajectory must track the
+    single-device step: step k's loss reflects every previous update.
+    """
+    from gaussian_splatting_tpu.parallel.gshard import gshard_train_step
+
+    n_dev = 4
+    mesh = make_mesh(n_dev)
+    state_a, stacked_cams, stacked_batch, cams, batches = _dp_setup(1, w=48, h=32)
+    state_b = state_a
+    opt = OptimizationConfig()
+    raster = RasterizeConfig()
+    from functools import partial
+
+    single = partial(train_step, opt=opt, raster=raster)
+    sharded = partial(gshard_train_step, mesh=mesh, opt=opt, raster=raster)
+
+    for it in range(3):
+        state_a, ma = single(state_a, cams[0], batches[0])
+        state_b, mb = sharded(state_b, cams[0], batches[0])
+        la, lb = float(ma["loss"]), float(mb["loss"])
+        assert abs(la - lb) < 2e-4 * max(1.0, abs(la)), (it, la, lb)
+
+    # densification stats track too (taps flow through the exchange)
+    np.testing.assert_allclose(
+        np.asarray(state_b.model.aux.denom),
+        np.asarray(state_a.model.aux.denom),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(state_b.model.aux.xyz_grad_accum),
+        np.asarray(state_a.model.aux.xyz_grad_accum),
+        rtol=2e-2, atol=1e-5,
+    )
+    # parameters stay in lockstep (Adam is grad-sign sensitive; loose atol)
+    np.testing.assert_allclose(
+        np.asarray(state_b.model.params.means3d),
+        np.asarray(state_a.model.params.means3d),
+        atol=5e-4,
+    )
