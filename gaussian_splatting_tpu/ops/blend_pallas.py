@@ -419,39 +419,6 @@ def _dot_exact_rhs01(x, onehot):
 # --------------------------------------------------------------------------
 
 
-def _backward_kernel(
-    starts_ref,  # (num_tiles_padded,) int32, scalar-prefetched into SMEM
-    ends_ref,  # (num_tiles_padded,) int32
-    meta_hbm,  # (NUM_FIELDS, cap_padded) HBM
-    fwd_ref,  # (T_PER, PIX, OUT_COLS) VMEM: packed forward outputs
-    ct_ref,  # (T_PER, PIX, CT_COLS) VMEM: packed cotangents
-    grad_hbm,  # out (NUM_FIELDS, cap_padded) HBM
-    state_ref,  # (PIX, STATE_COLS) VMEM scratch: forward-replay accumulators
-    meta_vmem,  # (2, NUM_FIELDS, chunk) scratch
-    grad_vmem,  # (2, NUM_FIELDS, chunk) scratch
-    in_sems,  # (2,) DMA semaphores
-    out_sems,  # (2,) DMA semaphores
-    *,
-    grid_x: int,
-    num_tiles: int,
-    tile_w: int,
-    tile_h: int,
-    chunk: int,
-    t_per: int,
-):
-    tri = _upper_tri(chunk)
-    for t in range(t_per):
-        tile_id = pl.program_id(0) * t_per + t
-
-        @pl.when(tile_id < num_tiles)
-        def _():
-            _backward_one_tile(
-                tile_id, t, starts_ref, ends_ref, meta_hbm, fwd_ref, ct_ref,
-                grad_hbm, state_ref, meta_vmem, grad_vmem, in_sems, out_sems,
-                tri, grid_x=grid_x, tile_w=tile_w, tile_h=tile_h, chunk=chunk,
-            )
-
-
 def _bwd_chunk_math(
     meta, c, n_in_chunk, T, Bq, px, py, ox, oy, Pmat, tri,
     T_final, Ctot_q, dC_r, dC_g, dC_b, dinvd, ct_T, n_contrib, chunk, pix,
@@ -557,120 +524,6 @@ def _bwd_chunk_math(
     T_new = T * jnp.exp(_last_lane(cum_log))
     Bq_new = _last_lane(cq_in)
     return gblock, T_new, Bq_new
-
-
-def _backward_one_tile(
-    tile_id, t, starts_ref, ends_ref, meta_hbm, fwd_ref, ct_ref, grad_hbm,
-    state_ref, meta_vmem, grad_vmem, in_sems, out_sems, tri, *,
-    grid_x, tile_w, tile_h, chunk,
-):
-    pix = tile_w * tile_h
-    start = pl.multiple_of(starts_ref[tile_id], chunk)
-    end = ends_ref[tile_id]
-
-    px, py = _tile_pixel_coords(tile_id, grid_x, tile_w, tile_h)
-    # tile-LOCAL pixel coordinates for the moment-matrix trick below: keeps
-    # the polynomial expansion terms O(dx^2) so no catastrophic cancellation.
-    ox = ((tile_id % grid_x) * tile_w).astype(jnp.float32)
-    oy = ((tile_id // grid_x) * tile_h).astype(jnp.float32)
-    pxl = px - ox
-    pyl = py - oy
-    # pixel-moment matrix: contracting gl (pix, chunk) against these six
-    # pixel-only columns yields every conic/mean gradient reduction in ONE
-    # MXU op (the per-instance factors pull out of the pixel sums).
-    ones_col = jnp.ones((pix, 1), jnp.float32)
-    Pmat = jnp.concatenate(
-        [ones_col, pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl,
-         jnp.zeros((pix, 2), jnp.float32)],
-        axis=1,
-    )  # (pix, 8)
-
-    fwd = fwd_ref[t]  # (PIX, OUT_COLS)
-    T_final = _col(fwd, O_T)
-    C_tot_r = _col(fwd, O_R)
-    C_tot_g = _col(fwd, O_G)
-    C_tot_b = _col(fwd, O_B)
-    invd_tot = _col(fwd, O_INVD)
-    n_contrib = _col(fwd, O_NCONTRIB)  # float, 1-based last contributor
-
-    ct = ct_ref[t]
-    dC_r = _col(ct, CT_R)
-    dC_g = _col(ct, CT_G)
-    dC_b = _col(ct, CT_B)
-    dinvd = _col(ct, CT_INVD)
-    ct_T = _col(ct, CT_BGDOT)  # cotangent of final_T (carries the bg term)
-
-    # Every chunk of this tile's range is processed and written (tail chunks
-    # naturally produce zero gradients); slots not covered by any tile are
-    # masked by the caller via total_aligned.
-    nchunks = pl.cdiv(end - start, chunk)
-
-    # replay state: T=1, prefix sums 0
-    lane_s = jax.lax.broadcasted_iota(jnp.int32, (pix, STATE_COLS), 1)
-    state_ref[:] = jnp.where(lane_s == S_T, 1.0, 0.0)
-
-    def in_dma(slot, c):
-        return pltpu.make_async_copy(
-            meta_hbm.at[:, pl.ds(start + c * chunk, chunk)],
-            meta_vmem.at[slot],
-            in_sems.at[slot],
-        )
-
-    def out_dma(slot, c):
-        return pltpu.make_async_copy(
-            grad_vmem.at[slot],
-            grad_hbm.at[:, pl.ds(start + c * chunk, chunk)],
-            out_sems.at[slot],
-        )
-
-    @pl.when(nchunks > 0)
-    def _():
-        in_dma(0, 0).start()
-
-    def body(c, _):
-        slot = jax.lax.rem(c, 2)
-
-        @pl.when(c + 1 < nchunks)
-        def _():
-            in_dma(jax.lax.rem(c + 1, 2), c + 1).start()
-
-        in_dma(slot, c).wait()
-        # Reusing grad_vmem[slot]: wait for the write-out from 2 chunks ago.
-        @pl.when(c >= 2)
-        def _():
-            out_dma(slot, c - 2).wait()
-
-        st = state_ref[:]
-        T = _col(st, S_T)
-        Bq = _col(st, S_BQ)
-
-        meta = meta_vmem[slot]
-        n_in_chunk = end - start - c * chunk
-        Ctot_q = C_tot_r * dC_r + C_tot_g * dC_g + C_tot_b * dC_b + invd_tot * dinvd
-        gblock, T_new, Bq_new = _bwd_chunk_math(
-            meta, c, n_in_chunk, T, Bq, px, py, ox, oy, Pmat, tri,
-            T_final, Ctot_q, dC_r, dC_g, dC_b, dinvd, ct_T, n_contrib,
-            chunk, pix,
-        )
-        grad_vmem[slot] = gblock
-        out_dma(slot, c).start()
-
-        state_ref[:] = jnp.concatenate(
-            [T_new, Bq_new, jnp.zeros((pix, STATE_COLS - 2), jnp.float32)],
-            axis=1,
-        )
-        return 0
-
-    jax.lax.fori_loop(0, nchunks, body, 0)
-
-    # Drain outstanding gradient write-outs (last one or two chunks).
-    @pl.when(nchunks > 1)
-    def _():
-        out_dma(jax.lax.rem(nchunks - 2, 2), nchunks - 2).wait()
-
-    @pl.when(nchunks > 0)
-    def _():
-        out_dma(jax.lax.rem(nchunks - 1, 2), nchunks - 1).wait()
 
 
 # --------------------------------------------------------------------------
@@ -941,62 +794,3 @@ def blend_backward_compact_pallas(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(starts, ends, cstarts, meta, fwd_p, ct_p)
-
-
-def blend_backward_pallas(
-    meta: jnp.ndarray,
-    tile_starts: jnp.ndarray,
-    tile_ends: jnp.ndarray,
-    fwd_packed: jnp.ndarray,  # (num_tiles, PIX, OUT_COLS)
-    ct_packed: jnp.ndarray,  # (num_tiles, PIX, CT_COLS)
-    *,
-    grid_x: int,
-    grid_y: int,
-    tile_w: int = 16,
-    tile_h: int = 16,
-    chunk: int = 128,
-    interpret: bool = False,
-    t_per: int = 4,
-) -> jnp.ndarray:
-    """Per-instance-slot gradients, shape (NUM_FIELDS, cap_padded).
-
-    Slots within a tile range are always written (zeros where nothing
-    contributed); slots beyond the chunk-aligned written region are left
-    *undefined* — callers mask by ``slot < total_aligned`` before reducing.
-    """
-    num_tiles = grid_x * grid_y
-    pix = tile_w * tile_h
-    nprog = -(-num_tiles // t_per)
-    pad = nprog * t_per - num_tiles
-    starts = jnp.pad(tile_starts.astype(jnp.int32), (0, pad))
-    ends = jnp.pad(tile_ends.astype(jnp.int32), (0, pad))
-    fwd_p = jnp.pad(fwd_packed, ((0, pad), (0, 0), (0, 0)))
-    ct_p = jnp.pad(ct_packed, ((0, pad), (0, 0), (0, 0)))
-    kernel = functools.partial(
-        _backward_kernel, grid_x=grid_x, num_tiles=num_tiles, tile_w=tile_w,
-        tile_h=tile_h, chunk=chunk, t_per=t_per,
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nprog,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((t_per, pix, OUT_COLS), lambda i, s_, e_: (i, 0, 0)),
-            pl.BlockSpec((t_per, pix, CT_COLS), lambda i, s_, e_: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
-        scratch_shapes=[
-            pltpu.VMEM((pix, STATE_COLS), jnp.float32),
-            pltpu.VMEM((2, NUM_FIELDS, chunk), jnp.float32),
-            pltpu.VMEM((2, NUM_FIELDS, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(meta.shape, jnp.float32),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        interpret=interpret,
-    )(starts, ends, meta, fwd_p, ct_p)

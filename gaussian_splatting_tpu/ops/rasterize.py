@@ -32,7 +32,6 @@ import numpy as np
 from gaussian_splatting_tpu.config import RasterizeConfig
 from gaussian_splatting_tpu.ops import blend_pallas as bp
 from gaussian_splatting_tpu.ops import instances as inst
-from gaussian_splatting_tpu.ops.binning import BinnedInstances, bin_gaussians
 from gaussian_splatting_tpu.ops.camera_math import CameraParams
 from gaussian_splatting_tpu.ops.oracle import render_dense
 from gaussian_splatting_tpu.ops.preprocess import ProjectedGaussians, preprocess
@@ -58,102 +57,6 @@ class RenderResult(NamedTuple):
 
 def _float0_zeros(x):
     return np.zeros(x.shape, dtype=jax.dtypes.float0)
-
-
-@functools.lru_cache(maxsize=64)
-def _make_blend_core(grid_x, grid_y, tile_w, tile_h, chunk, interpret):
-    """custom_vjp-wrapped Pallas blend for a fixed tile geometry."""
-
-    kw = dict(
-        grid_x=grid_x,
-        grid_y=grid_y,
-        tile_w=tile_w,
-        tile_h=tile_h,
-        chunk=chunk,
-        interpret=interpret,
-    )
-
-    @jax.custom_vjp
-    def core(meta, starts, ends, total_aligned):
-        del total_aligned
-        return bp.blend_forward_pallas(meta, starts, ends, **kw)
-
-    def core_fwd(meta, starts, ends, total_aligned):
-        packed = bp.blend_forward_pallas(meta, starts, ends, **kw)
-        return packed, (meta, starts, ends, total_aligned, packed)
-
-    def core_bwd(res, ct):
-        meta, starts, ends, total_aligned, packed = res
-        # The packed cotangent already has the kernel's CT layout (CT_* ==
-        # O_*): the T-column cotangent carries the background-compositing
-        # term (and any direct use of final_T by the loss); unused columns
-        # (O_NCONTRIB/O_DONE) arrive as zeros.
-        dmeta = bp.blend_backward_pallas(meta, starts, ends, packed, ct, **kw)
-        # Slots beyond the chunk-aligned written region belong to no tile and
-        # hold garbage; zero them before the gather-VJP scatter-adds instance
-        # grads onto Gaussians.
-        slot = jnp.arange(meta.shape[1], dtype=jnp.int32)
-        dmeta = jnp.where(slot[None, :] < total_aligned, dmeta, 0.0)
-        return (
-            dmeta,
-            _float0_zeros(starts),
-            _float0_zeros(ends),
-            _float0_zeros(total_aligned),
-        )
-
-    core.defvjp(core_fwd, core_bwd)
-    return core
-
-
-@jax.custom_vjp
-def _gather_instance_rows(fields, ids, pos_expansion, seg_starts, seg_ends):
-    """(P, 16) field matrix -> (cap_aligned, 16) per-instance records.
-
-    One row gather forward (bandwidth-bound on TPU, unlike per-column
-    gathers).  The custom VJP reduces instance-row cotangents onto Gaussians
-    WITHOUT a scatter: rows are permuted back to expansion order (where each
-    Gaussian's instances are contiguous), prefix-summed, and differenced at
-    the segment boundaries.  This replaces both backward.cu's per-Gaussian
-    atomicAdd (:592-609) and XLA's slow scatter-add — it is deterministic
-    and runs at memory bandwidth.
-    """
-    return fields[jnp.maximum(ids, 0)]
-
-
-def _gather_instance_rows_fwd(fields, ids, pos_expansion, seg_starts, seg_ends):
-    out = _gather_instance_rows(fields, ids, pos_expansion, seg_starts, seg_ends)
-    return out, (pos_expansion, seg_starts, seg_ends, ids)
-
-
-def _gather_instance_rows_bwd(res, ct):
-    from gaussian_splatting_tpu.ops.segscan import segmented_cumsum
-
-    pos_expansion, seg_starts, seg_ends, ids = res
-    cap_aligned = ct.shape[0]
-    capacity = pos_expansion.shape[0]
-    # aligned-order cotangents -> expansion order (dropped slots read 0),
-    # field-major for the scan kernel
-    safe_pos = jnp.minimum(pos_expansion, cap_aligned - 1)
-    e = ct.T[:, safe_pos] * (pos_expansion < cap_aligned)[None, :]  # (16, capacity)
-    # Segmented inclusive scan (sequential Pallas kernel): sums reset at each
-    # Gaussian's first instance, so a zero-gradient Gaussian's total is
-    # EXACTLY zero — differencing two large global prefixes instead would
-    # leak O(eps * |prefix|) dust (XLA scan trees associate shared prefixes
-    # differently per position), and Adam turns any nonzero into a full step.
-    flags = jnp.zeros((capacity,), jnp.float32).at[seg_starts].set(1.0, mode="drop")
-    cs = segmented_cumsum(e, flags, interpret=jax.default_backend() != "tpu")
-    nonempty = (seg_ends > seg_starts)[:, None]
-    d_fields = jnp.where(nonempty, cs[:, jnp.maximum(seg_ends - 1, 0)].T, 0.0)
-    return (
-        d_fields,
-        _float0_zeros(ids),
-        _float0_zeros(pos_expansion),
-        _float0_zeros(seg_starts),
-        _float0_zeros(seg_ends),
-    )
-
-
-_gather_instance_rows.defvjp(_gather_instance_rows_fwd, _gather_instance_rows_bwd)
 
 
 @functools.lru_cache(maxsize=64)
@@ -256,47 +159,6 @@ def _make_render_core(grid_x, grid_y, tile_w, tile_h, chunk, capacity, interpret
         return packed, (layout.overflow, layout.num_instances)
 
     return core, core_inference
-
-
-def _build_meta(proj: ProjectedGaussians, binned: BinnedInstances, chunk: int) -> jnp.ndarray:
-    """Gather sorted instance records into the field-major (16, cap+chunk) array."""
-    safe_depth = jnp.where(proj.valid, proj.depths, 1.0)
-    zeros = jnp.zeros_like(proj.opacities)
-    fields = jnp.stack(
-        [
-            proj.means2d[:, 0],
-            proj.means2d[:, 1],
-            proj.conics[:, 0],
-            proj.conics[:, 1],
-            proj.conics[:, 2],
-            proj.opacities,
-            proj.colors[:, 0],
-            proj.colors[:, 1],
-            proj.colors[:, 2],
-            1.0 / safe_depth,
-            zeros,
-            zeros,
-            zeros,
-            zeros,
-            zeros,
-            zeros,
-        ],
-        axis=1,
-    )  # (P, 16)
-    rows = _gather_instance_rows(
-        fields,
-        binned.gaussian_ids,
-        binned.pos_expansion,
-        binned.seg_starts,
-        binned.seg_ends,
-    )
-    # padding slots (ids == -1) must never contribute: zero their opacity
-    pad = (binned.gaussian_ids < 0)[:, None]
-    col = jnp.arange(bp.NUM_FIELDS)[None, :]
-    rows = jnp.where(pad & (col == bp.F_OP), 0.0, rows)
-    meta = rows.T
-    # Tail padding so the last chunk's DMA stays in-bounds.
-    return jnp.pad(meta, ((0, 0), (0, chunk)))
 
 
 def _untile(packed: jnp.ndarray, grid_x: int, grid_y: int, tile_w: int, tile_h: int, W: int, H: int):

@@ -39,3 +39,9 @@ def init_distributed(coordinator: str = "", num_processes: int = 1, process_id: 
             num_processes=num_processes,
             process_id=process_id,
         )
+
+
+def is_main_process() -> bool:
+    """Process-0 guard for file outputs (checkpoints, PLY, logs) so a
+    multi-host run writes each artifact exactly once."""
+    return jax.process_index() == 0

@@ -200,7 +200,9 @@ def train(
 
     # persist the run config next to the model (reference train.py:317-320;
     # render.py/metrics.py re-read it like get_combined_args)
-    if model_cfg.model_path:
+    from gaussian_splatting_tpu.parallel.mesh import is_main_process
+
+    if model_cfg.model_path and is_main_process():
         from gaussian_splatting_tpu.config import save_config
 
         os.makedirs(model_cfg.model_path, exist_ok=True)
@@ -449,11 +451,11 @@ def train(
                 first_report=iteration == min(test_iterations, default=iteration),
             )
 
-        if iteration in save_iterations:
+        if iteration in save_iterations and is_main_process():
             print(f"\n[ITER {iteration}] Saving Gaussians")
             scene.save(iteration, state.model, state.exposures)
 
-        if iteration in checkpoint_iterations:
+        if iteration in checkpoint_iterations and is_main_process():
             print(f"\n[ITER {iteration}] Saving Checkpoint")
             save_checkpoint(
                 os.path.join(model_cfg.model_path, f"chkpnt{iteration}.pkl"),

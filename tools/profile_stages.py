@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Stage-level timing of the render pipeline on the current backend."""
+"""Stage-level timing of the round-2 render pipeline on the current backend."""
 
 import time
 
@@ -7,36 +7,52 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gaussian_splatting_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 from gaussian_splatting_tpu.config import RasterizeConfig
 from gaussian_splatting_tpu.ops import blend_pallas as bp
-from gaussian_splatting_tpu.ops.binning import bin_gaussians
+from gaussian_splatting_tpu.ops import instances as inst
 from gaussian_splatting_tpu.ops.preprocess import preprocess
-from gaussian_splatting_tpu.ops.rasterize import render, _build_meta, _make_blend_core
+from gaussian_splatting_tpu.ops.rasterize import render
 from gaussian_splatting_tpu.utils.testing import random_scene
 
 P = 500_000
 W, H = 1920, 1080
-cfg = RasterizeConfig(instance_slack=4.0)
+cfg = RasterizeConfig(instance_slack=4.5)
 
 scene = random_scene(P, sh_degree=3, width=W, height=H, seed=0, spread=2.0,
                      scale_range=(0.004, 0.02), cam_distance=4.0)
 tile_w, tile_h = cfg.tile_w, cfg.tile_h
 grid_x = (W + tile_w - 1) // tile_w
 grid_y = (H + tile_h - 1) // tile_h
-capacity = int(cfg.instance_slack * P) + 1024
-capacity = -(-capacity // cfg.chunk) * cfg.chunk
+capacity = inst.required_capacity(P, cfg.instance_slack)
+
+
+def _sync(x):
+    return float(jnp.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[0])
 
 
 def timeit(name, fn, *args, n=5):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n
-    print(f"{name:>24}: {dt*1e3:9.2f} ms")
+    _sync(out)
+    dt = (time.perf_counter() - t0 - 0.03) / n
+    print(f"{name:>24}: {dt*1e3:9.2f} ms", flush=True)
     return out
+
+
+def _diff_fields(proj):
+    safe_depth = jnp.where(proj.valid, proj.depths, 1.0)
+    return jnp.stack(
+        [proj.means2d[:, 0], proj.means2d[:, 1], proj.conics[:, 0],
+         proj.conics[:, 1], proj.conics[:, 2], proj.opacities,
+         proj.colors[:, 0], proj.colors[:, 1], proj.colors[:, 2],
+         1.0 / safe_depth], axis=0)
 
 
 pre = jax.jit(lambda m, s, q, o, sh: preprocess(
@@ -45,28 +61,25 @@ pre = jax.jit(lambda m, s, q, o, sh: preprocess(
 proj = timeit("preprocess", pre, scene.means3d, scene.scales, scene.quats,
               scene.opacities, scene.sh)
 
-bin_fn = jax.jit(lambda p: bin_gaussians(p, grid_x=grid_x, grid_y=grid_y,
-                                         capacity=capacity, chunk=cfg.chunk))
-binned = timeit("binning(sort)", bin_fn, proj)
-print(f"   instances: {int(binned.num_instances)} / cap {capacity} "
-      f"(aligned {int(binned.total_aligned)})")
+build = jax.jit(lambda p, f: inst.build_instances(
+    p, f, grid_x=grid_x, grid_y=grid_y, capacity=capacity,
+    tile_w=tile_w, tile_h=tile_h))
+fields = jax.jit(_diff_fields)(proj)
+layout = timeit("build_instances", build, proj, fields)
+print(f"   demand: {int(layout.num_instances)} / cap {capacity}")
 
-meta_fn = jax.jit(lambda p, b: _build_meta(p, b, cfg.chunk))
-meta = timeit("build_meta(gather)", meta_fn, proj, binned)
-
-core = _make_blend_core(grid_x, grid_y, tile_w, tile_h, cfg.chunk, False)
-fwd_fn = jax.jit(lambda m, s, e, t: bp.blend_forward_pallas(
+fwd_fn = jax.jit(lambda m, s, e: bp.blend_forward_pallas(
     m, s, e, grid_x=grid_x, grid_y=grid_y, tile_w=tile_w, tile_h=tile_h,
     chunk=cfg.chunk, interpret=False))
-packed = timeit("blend_fwd", fwd_fn, meta, binned.tile_starts,
-                binned.tile_ends, binned.total_aligned)
+packed = timeit("blend_fwd", fwd_fn, layout.meta_aligned, layout.tile_starts,
+                layout.tile_ends)
 
 ct = jnp.ones_like(packed)
-bwd_fn = jax.jit(lambda m, s, e, f, c: bp.blend_backward_pallas(
-    m, s, e, f, c, grid_x=grid_x, grid_y=grid_y, tile_w=tile_w, tile_h=tile_h,
-    chunk=cfg.chunk, interpret=False))
-timeit("blend_bwd", bwd_fn, meta, binned.tile_starts, binned.tile_ends,
-       packed, ct)
+bwd_fn = jax.jit(lambda m, s, e, c_, f, ctp: bp.blend_backward_compact_pallas(
+    m, s, e, c_, f, ctp, capacity=capacity, grid_x=grid_x, grid_y=grid_y,
+    tile_w=tile_w, tile_h=tile_h, chunk=cfg.chunk, interpret=False))
+timeit("blend_bwd_compact", bwd_fn, layout.meta_aligned, layout.tile_starts,
+       layout.tile_ends, layout.starts_compact, packed, ct)
 
 
 def full_fwd(m, s, q, o, sh):
