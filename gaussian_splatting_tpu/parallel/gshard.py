@@ -367,6 +367,14 @@ def gshard_train_step(
             loss_fn, argnums=(0, 1, 2), has_aux=True
         )(params, exposures, tap)
         g_params, g_exp, g_tap = grads
+        # The loss is computed REPLICATED on every device from the
+        # all-gathered image, so each stripe color collects one cotangent
+        # per replica: gradients that flow through the gather (params, tap)
+        # come out n-times the true gradient.  Exposure grads do not cross a
+        # collective (applied post-gather per replica) and are already true.
+        n_rep = jax.lax.psum(1, "data")
+        g_params = jax.tree_util.tree_map(lambda g: g / n_rep, g_params)
+        g_tap = g_tap / n_rep
         overflow = jax.lax.pmax(
             aux_out["overflow"].astype(jnp.int32), "data"
         )

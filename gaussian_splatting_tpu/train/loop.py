@@ -311,7 +311,10 @@ def train(
             poll_viewer(
                 viewer,
                 lambda cam, sm: np.asarray(
-                    render_custom_cam(state, cam, bg, scale_modifier=sm)
+                    render_custom_cam(
+                        state, cam, bg, scale_modifier=sm,
+                        raster=raster_holder[0],
+                    )
                 ),
                 model_cfg.source_path,
                 iteration,
@@ -520,11 +523,13 @@ def render_camera(
     return image, out
 
 
-def render_custom_cam(state: TrainState, cam, bg, scale_modifier: float = 1.0):
+def render_custom_cam(state: TrainState, cam, bg, scale_modifier: float = 1.0,
+                      raster=None):
     """Viewer-path render of an arbitrary CameraParams (train.py:100-108)."""
     from gaussian_splatting_tpu.ops.rasterize import render
 
     means, scales, quats, opac, sh = _activated_params(state.model)
+    kwargs = {} if raster is None else {"cfg": raster}
     out = render(
         means, scales, quats, opac, sh,
         cam,
@@ -532,6 +537,7 @@ def render_custom_cam(state: TrainState, cam, bg, scale_modifier: float = 1.0):
         sh_degree=state.model.max_sh_degree,
         scale_modifier=float(scale_modifier),
         inference=True,
+        **kwargs,
     )
     return out.image
 

@@ -4,6 +4,9 @@
 # opacity-reset schedule, PSNR at 1k/7k/15k/30k.
 set -e
 export PYTHONPATH=/root/repo:/root/.axon_site
+# hold all 100 cameras' pixels in HBM: a cache miss re-uploads ~40 MB
+# through the axon tunnel (~1.5 s) EVERY step
+export GS_BATCH_CACHE_GB=8
 cd /root/repo
 
 DATA=/root/data/synth1600
