@@ -651,6 +651,12 @@ def _backward_one_tile_compact(
     Ctot_q = C_tot_r * dC_r + C_tot_g * dC_g + C_tot_b * dC_b + invd_tot * dinvd
 
     nchunks = pl.cdiv(end - start, chunk)
+    # Early-out: instances past the LAST contributor of any pixel (the
+    # forward's early-stop, forward.cu:477-482) provably get zero gradients
+    # (contrib == False everywhere) — skip their math and let the staging
+    # stream flush the zeros it already holds.
+    max_nc = jnp.max(n_contrib).astype(jnp.int32)
+    active_chunks = jnp.minimum(nchunks, pl.cdiv(max_nc, chunk))
 
     lane_s = jax.lax.broadcasted_iota(jnp.int32, (pix, STATE_COLS), 1)
     state_ref[:] = jnp.where(lane_s == S_T, 1.0, 0.0)
@@ -662,7 +668,7 @@ def _backward_one_tile_compact(
             in_sems.at[slot],
         )
 
-    @pl.when(nchunks > 0)
+    @pl.when(active_chunks > 0)
     def _():
         in_dma(0, 0).start()
 
@@ -671,64 +677,77 @@ def _backward_one_tile_compact(
     jj = jax.lax.broadcasted_iota(jnp.int32, (chunk, 2 * chunk), 1)
 
     def body(c, _):
-        slot = jax.lax.rem(c, 2)
-
-        @pl.when(c + 1 < nchunks)
-        def _():
-            in_dma(jax.lax.rem(c + 1, 2), c + 1).start()
-
-        in_dma(slot, c).wait()
-
-        st = state_ref[:]
-        T = _col(st, S_T)
-        Bq = _col(st, S_BQ)
-
-        meta = meta_vmem[slot]
         n_in_chunk = end - start - c * chunk
-        gblock, T_new, Bq_new = _bwd_chunk_math(
-            meta, c, n_in_chunk, T, Bq, px, py, ox, oy, Pmat, tri,
-            T_final, Ctot_q, dC_r, dC_g, dC_b, dinvd, ct_T, n_contrib,
-            chunk, pix,
-        )
-        # lanes past the tile's true count are aligned-layout padding: they
-        # have no compact destination, so zero them before staging
-        gblock = jnp.where(lane_row < n_in_chunk, gblock, 0.0)
 
-        d0 = cstart + c * chunk
-        w0 = d0 // chunk
-        rot = d0 - w0 * chunk
-        # exact one-hot rotation into the two staging windows
-        sel = (jj == ii + rot).astype(jnp.float32)  # (chunk, 2*chunk)
-        rotg = _dot_exact_rhs01(gblock, sel)  # (NUM_FIELDS, 2*chunk)
+        @pl.when(c < active_chunks)
+        def _():
+            slot = jax.lax.rem(c, 2)
 
-        # any pending flush on either half must land before we touch them
-        for h in (0, 1):
+            @pl.when(c + 1 < active_chunks)
+            def _():
+                in_dma(jax.lax.rem(c + 1, 2), c + 1).start()
+
+            in_dma(slot, c).wait()
+
+            st = state_ref[:]
+            T = _col(st, S_T)
+            Bq = _col(st, S_BQ)
+
+            meta = meta_vmem[slot]
+            gblock, T_new, Bq_new = _bwd_chunk_math(
+                meta, c, n_in_chunk, T, Bq, px, py, ox, oy, Pmat, tri,
+                T_final, Ctot_q, dC_r, dC_g, dC_b, dinvd, ct_T, n_contrib,
+                chunk, pix,
+            )
+            # lanes past the tile's true count are aligned-layout padding:
+            # they have no compact destination; zero them before staging
+            gblock = jnp.where(lane_row < n_in_chunk, gblock, 0.0)
+
+            d0 = cstart + c * chunk
+            w0 = d0 // chunk
+            rot = d0 - w0 * chunk
+            # exact one-hot rotation into the two staging windows
+            sel = (jj == ii + rot).astype(jnp.float32)  # (chunk, 2*chunk)
+            rotg = _dot_exact_rhs01(gblock, sel)  # (NUM_FIELDS, 2*chunk)
+
+            # any pending flush on either half must land before adding
+            for h in (0, 1):
+                @pl.when(sm[_SM_PEND0 + h] == 1)
+                def _():
+                    flush_copy(h, sm[_SM_WIN0 + h]).wait()
+                    staging[h] = jnp.zeros_like(staging[h])
+                    sm[_SM_PEND0 + h] = 0
+
+            hA = jax.lax.rem(w0, 2)
+            staging[hA] = staging[hA] + rotg[:, :chunk]
+            hB = 1 - hA
+            staging[hB] = staging[hB] + rotg[:, chunk:]
+
+            state_ref[:] = jnp.concatenate(
+                [T_new, Bq_new, jnp.zeros((pix, STATE_COLS - 2), jnp.float32)],
+                axis=1,
+            )
+
+        # head/flush bookkeeping runs for EVERY chunk: skipped (early-out)
+        # chunks emit the zeros their staging windows already contain
+        head = cstart + c * chunk + jnp.minimum(chunk, n_in_chunk)
+        cur_w = sm[_SM_CURW]
+
+        @pl.when(head // chunk > cur_w)
+        def _():
+            h = jax.lax.rem(cur_w, 2)
+
             @pl.when(sm[_SM_PEND0 + h] == 1)
             def _():
                 flush_copy(h, sm[_SM_WIN0 + h]).wait()
                 staging[h] = jnp.zeros_like(staging[h])
                 sm[_SM_PEND0 + h] = 0
 
-        hA = jax.lax.rem(w0, 2)
-        staging[hA] = staging[hA] + rotg[:, :chunk]
-        hB = 1 - hA
-        staging[hB] = staging[hB] + rotg[:, chunk:]
-
-        head = d0 + jnp.minimum(chunk, n_in_chunk)
-        cur_w = sm[_SM_CURW]
-
-        @pl.when(head // chunk > cur_w)
-        def _():
-            h = jax.lax.rem(cur_w, 2)
             flush_copy(h, cur_w).start()
             sm[_SM_PEND0 + h] = 1
             sm[_SM_WIN0 + h] = cur_w
             sm[_SM_CURW] = cur_w + 1
 
-        state_ref[:] = jnp.concatenate(
-            [T_new, Bq_new, jnp.zeros((pix, STATE_COLS - 2), jnp.float32)],
-            axis=1,
-        )
         return 0
 
     jax.lax.fori_loop(0, nchunks, body, 0)
