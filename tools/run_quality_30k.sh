@@ -28,7 +28,9 @@ print("dataset done")
 EOF
 fi
 
-python train.py -s "$DATA" -m "$OUT" \
+# -r 2 trains at 800x530 (the reference's own MipNeRF protocol trains at
+# images_2/images_4); full 30k schedule with densify + opacity resets
+python train.py -s "$DATA" -m "$OUT" -r 2 \
   --disable_viewer \
   --capacity 262144 \
   --test_iterations 1000 7000 15000 30000 \
