@@ -395,6 +395,10 @@ def train(
                 raster_holder[0] = dataclasses.replace(
                     raster_holder[0], instance_slack=new_slack
                 )
+            if iteration % 500 == 0:
+                # windowed max: an all-time max can never shrink (pruning
+                # after the first opacity reset cuts demand 10x on
+                # random-init scenes)
                 max_demand = 0
 
         if tb_writer is not None:
