@@ -360,7 +360,7 @@ def blend_forward_pallas(
     tile_h: int = 16,
     chunk: int = 128,
     interpret: bool = False,
-    t_per: int = 4,
+    t_per: int = 16,
 ) -> jnp.ndarray:
     """Run the forward blend. Returns packed (num_tiles, PIX, OUT_COLS)."""
     num_tiles = grid_x * grid_y
@@ -768,7 +768,7 @@ def blend_backward_compact_pallas(
     tile_h: int = 16,
     chunk: int = 128,
     interpret: bool = False,
-    t_per: int = 4,
+    t_per: int = 2,
 ) -> jnp.ndarray:
     """Per-instance gradients in COMPACT sorted order,
     shape (NUM_FIELDS, capacity + 2*chunk).  Slots past the valid stream end
