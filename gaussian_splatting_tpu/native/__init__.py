@@ -107,7 +107,22 @@ def load() -> Optional[ctypes.CDLL]:
         if not _smoke_test(lib):
             # Stale cached binary. Rebuild into a fresh path (dlopen caches
             # by path, so reloading _LIB_PATH would return the old mapping).
-            retry = _LIB_PATH + f".{os.getpid()}"
+            # Use a temp dir, not a pid-suffixed file in the package dir —
+            # those accumulate across runs and leak into git status.
+            import tempfile
+
+            retry = os.path.join(
+                tempfile.mkdtemp(prefix="gs_native_"), "libgs_native.so"
+            )
+            # clean up retry artifacts older builds may have left behind
+            for stale in (
+                p for p in os.listdir(os.path.dirname(_LIB_PATH))
+                if p.startswith("libgs_native.so.")
+            ):
+                try:
+                    os.unlink(os.path.join(os.path.dirname(_LIB_PATH), stale))
+                except OSError:
+                    pass
             if not _build(out=retry):
                 _build_failed = True
                 return None

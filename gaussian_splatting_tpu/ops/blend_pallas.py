@@ -605,6 +605,13 @@ def _backward_kernel_compact(
             @pl.when(sm[_SM_PEND0 + h] == 1)
             def _():
                 flush_copy(h, sm[_SM_WIN0 + h]).wait()
+                # pend still set here means NO adds landed on this half since
+                # its flush started (the body's add path clears pend before
+                # adding) — the half holds the PREVIOUS window's data.  Zero
+                # it exactly as the body does, so the final-window flush below
+                # writes zeros (correct for a window whose chunks were all
+                # early-out skipped) instead of stale gradients.
+                staging[h] = jnp.zeros_like(staging[h])
                 sm[_SM_PEND0 + h] = 0
         cur_w = sm[_SM_CURW]
         final = flush_copy(jax.lax.rem(cur_w, 2), cur_w)

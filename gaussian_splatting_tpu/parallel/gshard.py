@@ -225,8 +225,16 @@ def render_gaussian_sharded(
     cfg: RasterizeConfig = RasterizeConfig(),
     capacity_per_device: int = 0,
     exchange_capacity: int = 0,
+    return_overflow: bool = False,
 ) -> jnp.ndarray:
-    """Distributed render; returns the assembled (3, H, W) image."""
+    """Distributed render; returns the assembled (3, H, W) image.
+
+    With ``return_overflow=True`` also returns a () bool that is True when
+    either the per-destination exchange buffer (cap_x) or a stripe's
+    instance capacity overflowed — i.e. the render silently dropped
+    Gaussians/instances and the caller should grow capacities and retry
+    (the distributed analogue of RenderResult.overflow).
+    """
     n = mesh.devices.size
     tile_w, tile_h, grid_x, grid_y_local = _geometry(cam, cfg, n)
     W, H = cam.width, cam.height
@@ -243,25 +251,29 @@ def render_gaussian_sharded(
             antialiasing=cfg.antialiasing,
         )
         rec = _pack_records(proj)
-        flat, _xovf = _exchange_records(
+        flat, xovf = _exchange_records(
             rec, proj, n=n, grid_y_local=grid_y_local, cap_x=cap_x
         )
         d = jax.lax.axis_index("data")
-        color, _invd, _ovf, _ni = _stripe_from_records(
+        color, _invd, ovf, _ni = _stripe_from_records(
             flat, d=d, n=n, grid_x=grid_x, grid_y_local=grid_y_local,
             tile_w=tile_w, tile_h=tile_h, capacity_dev=capacity_dev,
             cfg=cfg, bg_color=bg_color, interpret=interpret,
         )
-        return color
+        any_ovf = jax.lax.pmax((ovf | xovf).astype(jnp.int32), "data") > 0
+        return color, any_ovf
 
-    out = shard_map(
+    out, overflow = shard_map(
         body,
         mesh=mesh,
         in_specs=(P("data"), P("data"), P("data"), P("data"), P("data")),
-        out_specs=P(None, "data", None),
+        out_specs=(P(None, "data", None), P()),
         check_vma=False,
     )(means3d, scales, quats, opacities, sh)
-    return jnp.clip(out[:, :H, :W], 0.0, 1.0)
+    image = jnp.clip(out[:, :H, :W], 0.0, 1.0)
+    if return_overflow:
+        return image, overflow
+    return image
 
 
 def gshard_train_step(

@@ -297,6 +297,7 @@ def train(
     cam_stack = []
     ema_loss = 0.0
     max_demand = 0
+    overflow_discards = 0
     t_start = time.time()
 
     for iteration in range(first_iter + 1, opt.iterations + 1):
@@ -360,6 +361,30 @@ def train(
             state, metrics = fn(prev_state, camera.cam, batch)
             m = np.asarray(metrics["packed"])
             retries += 1
+        if m[3] > 0:
+            # Retry budget exhausted: the step's gradients were computed from
+            # a truncated instance stream.  Applying them would silently
+            # corrupt training (the reference cannot truncate — it reallocs
+            # exactly, rasterizer_impl.cu:313), so DISCARD the step and keep
+            # the pre-step state.  Persistent exhaustion means the scene
+            # fundamentally exceeds the capacity model — abort loudly.
+            state = prev_state
+            overflow_discards += 1
+            print(
+                f"[it {iteration}] instance buffer still overflowing after "
+                f"{retries} slack doublings (slack="
+                f"{raster_holder[0].instance_slack:.1f}); STEP DISCARDED "
+                f"({overflow_discards} consecutive)."
+            )
+            if overflow_discards >= 3:
+                raise RuntimeError(
+                    "instance-buffer overflow persisted across 3 consecutive "
+                    "steps despite slack doubling — aborting instead of "
+                    "training on truncated gradients. Raise instance_slack "
+                    "or reduce resolution."
+                )
+            continue
+        overflow_discards = 0
 
         loss = float(m[0])
         ema_loss = 0.4 * loss + 0.6 * ema_loss

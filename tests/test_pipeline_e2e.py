@@ -143,3 +143,72 @@ def test_observability_events(dataset, tmp_path):
     assert "scene/opacity_histogram" in writer.hists
     assert any(t.startswith("test_view_") for t in writer.images)
     assert any(t.endswith("/ground_truth") for t in writer.images)
+
+
+def _fake_overflow_step(calls, overflow_traces):
+    """A train_step stand-in whose overflow flag flips after N traces.
+
+    The loop recompiles per instance_slack value, so each retry re-traces;
+    counting traces lets the fake overflow through exactly the first
+    iteration's whole retry chain (first try + 4 doublings = 5 traces).
+    """
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    def fake(state, cam, batch, *, opt, raster, use_exposure=False, use_depth=False):
+        calls["n"] += 1
+        ovf = 1.0 if calls["n"] <= overflow_traces else 0.0
+        p = state.model.params
+        new_model = dc.replace(
+            state.model, params=p._replace(means3d=p.means3d + 1.0)
+        )
+        new_state = dc.replace(state, model=new_model, step=state.step + 1)
+        packed = jnp.stack(
+            [
+                jnp.float32(0.5),  # loss
+                jnp.float32(0.5),  # l1
+                jnp.float32(0.0),  # depth
+                jnp.float32(ovf),  # overflow
+                jnp.float32(100.0),  # demand
+                jnp.float32(10.0),  # alive
+            ]
+        )
+        return new_state, {"loss": packed[0], "packed": packed}
+
+    return fake
+
+
+def test_overflow_retry_exhaustion_discards_step(dataset, tmp_path, monkeypatch):
+    """VERDICT round-2 weak #2: after the retry budget, the truncated step
+    must be DISCARDED (state = prev_state), not applied with a warning."""
+    from gaussian_splatting_tpu.train import loop
+
+    calls = {"n": 0}
+    # overflow through iteration 1's first try + all 4 retries; iteration 2's
+    # first extra retry (6th trace) succeeds
+    monkeypatch.setattr(loop, "train_step", _fake_overflow_step(calls, 5))
+
+    cfg = ModelConfig(source_path=dataset, model_path=str(tmp_path / "m3"))
+    opt = OptimizationConfig(iterations=3, densify_from_iter=1000)
+    state = loop.train(
+        cfg, opt, PipelineConfig(), test_iterations=(), save_iterations=(),
+        quiet=True, capacity=2048,
+    )
+    # iteration 1 was discarded; iterations 2 and 3 each applied exactly once
+    assert int(state.step) == 2
+
+
+def test_overflow_persistent_exhaustion_aborts(dataset, tmp_path, monkeypatch):
+    from gaussian_splatting_tpu.train import loop
+
+    calls = {"n": 0}
+    monkeypatch.setattr(loop, "train_step", _fake_overflow_step(calls, 10**9))
+
+    cfg = ModelConfig(source_path=dataset, model_path=str(tmp_path / "m4"))
+    opt = OptimizationConfig(iterations=10, densify_from_iter=1000)
+    with pytest.raises(RuntimeError, match="overflow"):
+        loop.train(
+            cfg, opt, PipelineConfig(), test_iterations=(), save_iterations=(),
+            quiet=True, capacity=2048,
+        )

@@ -150,3 +150,54 @@ def test_overflow_flag():
         capacity=256,
     )
     assert bool(out.overflow)
+
+
+def test_compact_backward_drain_no_stale_gradients():
+    """Regression (round-3, ADVICE high): the compact-backward drain must
+    zero a staging half after waiting its pending flush.  Scenario: one tile
+    whose first instances saturate every pixel (forward early-stop), so the
+    trailing chunks are skipped by the active_chunks early-out and only run
+    flush bookkeeping — the final partial window must then flush ZEROS, not
+    the previous window's gradient data still sitting in the staging half.
+    """
+    from gaussian_splatting_tpu.ops import blend_pallas as bp
+
+    chunk = 128
+    n_inst = 300  # 3 chunks; only chunk 0 has contributors
+    cap_aligned = 384
+    meta = np.zeros((bp.NUM_FIELDS, cap_aligned + chunk), np.float32)
+    rng = np.random.default_rng(7)
+    # all instances centered on the single 16x16 tile, tiny conic -> G ~ 1
+    meta[bp.F_X, :n_inst] = 8.0 + rng.uniform(-2, 2, n_inst)
+    meta[bp.F_Y, :n_inst] = 8.0 + rng.uniform(-2, 2, n_inst)
+    meta[bp.F_CA, :n_inst] = 1e-4
+    meta[bp.F_CC, :n_inst] = 1e-4
+    meta[bp.F_OP, :n_inst] = 0.3
+    meta[bp.F_OP, :8] = 1.0  # first 8 saturate: T < 1e-4 after ~3
+    meta[bp.F_R, :n_inst] = rng.uniform(0.1, 1.0, n_inst)
+    meta[bp.F_G, :n_inst] = rng.uniform(0.1, 1.0, n_inst)
+    meta[bp.F_B, :n_inst] = rng.uniform(0.1, 1.0, n_inst)
+    meta[bp.F_INVD, :n_inst] = 0.5
+    meta = jnp.asarray(meta)
+
+    starts = jnp.array([0], jnp.int32)
+    ends = jnp.array([n_inst], jnp.int32)
+    cstarts = jnp.array([0], jnp.int32)
+    fwd = bp.blend_forward_pallas(
+        meta, starts, ends, grid_x=1, grid_y=1, interpret=True
+    )
+    # sanity: every pixel early-stopped within chunk 0
+    n_contrib = np.asarray(fwd[0, :, bp.O_NCONTRIB])
+    assert n_contrib.max() <= chunk
+
+    ct = jnp.ones((1, 256, bp.CT_COLS), jnp.float32)
+    dmeta = bp.blend_backward_compact_pallas(
+        meta, starts, ends, cstarts, fwd, ct,
+        capacity=cap_aligned, grid_x=1, grid_y=1, interpret=True,
+    )
+    d = np.asarray(dmeta[:10])
+    # chunk 0 has real gradients
+    assert np.abs(d[:, :chunk]).max() > 0.0
+    # every valid slot past the last contributor gets EXACTLY zero — the
+    # final-window drain flush (slots 256..300) is where stale data leaked
+    np.testing.assert_array_equal(d[:, chunk:n_inst], 0.0)
