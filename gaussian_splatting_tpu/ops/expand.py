@@ -58,8 +58,11 @@ T_B = 14
 T_INVD = 15
 NUM_TCOLS = 16
 
-# Output meta row order == blend_pallas field order (F_X..F_INVD)
-_META_ROWS = (T_MX, T_MY, T_CA, T_CB, T_CC, T_OP, T_R, T_G, T_B, T_INVD)
+# Output meta row order == blend_pallas field order (F_X..F_B).  F_INVD is
+# NOT expanded or sorted: inverse depth is recomputed from the sorted depth
+# KEY (bitwise-identical 1/depth), saving one sort payload operand
+# (~1.85 ms/iter at bench scale).
+_META_ROWS = (T_MX, T_MY, T_CA, T_CB, T_CC, T_OP, T_R, T_G, T_B)
 
 WINDOW = 256  # table rows fetched per 128-slot chunk
 CHUNK = 128

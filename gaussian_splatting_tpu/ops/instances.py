@@ -112,7 +112,10 @@ def build_instances(
     table_rows[ex.T_R] = diff_fields[6]
     table_rows[ex.T_G] = diff_fields[7]
     table_rows[ex.T_B] = diff_fields[8]
-    table_rows[ex.T_INVD] = diff_fields[9]
+    # T_INVD is not carried: inverse depth is recomputed from the sorted
+    # depth key (bitwise-identical 1/depth; diff_fields[9] == 1/safe_depth
+    # with safe_depth == depth for every instance that reaches the blend)
+    table_rows[ex.T_INVD] = jnp.zeros_like(diff_fields[0])
     table = jnp.stack(table_rows, axis=0)  # (16, P)
 
     # terminator column (owns every slot >= total) + BIG-offset pad columns
@@ -152,19 +155,20 @@ def build_instances(
         interpret=interpret,
     )
 
-    # ---- the payload sort ----
-    payload = tuple(meta_exp[i] for i in range(10))
+    # ---- the payload sort (9 fields; invd recomputed from the depth key) ----
+    payload = tuple(meta_exp[i] for i in range(9))
     if grad_layout:
         src = jnp.arange(capacity, dtype=jnp.int32)
         out = jax.lax.sort((tile, depth) + payload + (src,), num_keys=2, is_stable=True)
         sorted_tile = out[0]
-        sorted_fields = out[2:12]
-        sorted_src = out[12]
+        sorted_fields = out[2:11]
+        sorted_src = out[11]
     else:
         out = jax.lax.sort((tile, depth) + payload, num_keys=2, is_stable=True)
         sorted_tile = out[0]
-        sorted_fields = out[2:12]
+        sorted_fields = out[2:11]
         sorted_src = None
+    sorted_invd = 1.0 / out[1]  # depth key is finite (BIG, never inf/0)
 
     # ---- per-tile ranges: ONE searchsorted over the sorted keys.
     # (A scatter-add histogram with 2.75M updates into 8k bins measured
@@ -182,7 +186,7 @@ def build_instances(
     # ---- compact sorted meta -> aligned relayout (Pallas rotate kernel) ----
     zeros_rows = jnp.zeros((ex.NUM_TCOLS - 10, capacity), jnp.float32)
     meta_compact = jnp.concatenate(
-        [jnp.stack(sorted_fields, axis=0), zeros_rows], axis=0
+        [jnp.stack(sorted_fields + (sorted_invd,), axis=0), zeros_rows], axis=0
     )
     meta_compact = jnp.pad(meta_compact, ((0, 0), (0, WINDOW)))
 
