@@ -12,8 +12,9 @@ TPU-native redesign of the reference's ``renderCUDA`` forward
   *chunk-aligned* per tile so every DMA offset is provably 128-aligned.
 - The per-pixel sequential front-to-back compositing is vectorized across a
   (256 pixels, 128 instances) block: transmittance uses an exclusive prefix
-  product (Hillis-Steele shift-multiplies forward; exp of an MXU prefix-sum
-  of logs in the backward replay), and the per-pixel early-stop
+  product computed as exp of an MXU prefix-sum of logs (both directions —
+  the forward's 14-pass Hillis-Steele chain was retired in round 3 for a
+  ~1e-7-relative rounding cost), and the per-pixel early-stop
   (``test_T < 1e-4`` -> done, forward.cu:477-482) becomes a first-bad-lane
   mask from an MXU prefix count.  Prefix sums ride the MXU as x @
   upper-triangular-ones contractions with a 2-pass bf16 hi+err split
@@ -71,23 +72,6 @@ CT_COLS = OUT_COLS
 # combined cotangent-weighted prefix sum (see the q-collapse in the kernel)
 S_T, S_BQ = range(2)
 STATE_COLS = 8
-
-
-def _shift_lanes(x: jnp.ndarray, s: int, fill: float) -> jnp.ndarray:
-    """Shift right by s along the last (lane) axis, filling with ``fill``."""
-    pad = jnp.full(x.shape[:-1] + (s,), fill, x.dtype)
-    return jnp.concatenate([pad, x[..., :-s]], axis=-1)
-
-
-def _exclusive_cumprod(x: jnp.ndarray) -> jnp.ndarray:
-    """Exclusive prefix product along lanes (Hillis-Steele)."""
-    n = x.shape[-1]
-    out = _shift_lanes(x, 1, 1.0)
-    s = 1
-    while s < n:
-        out = out * _shift_lanes(out, s, 1.0)
-        s *= 2
-    return out
 
 
 def _upper_tri(chunk: int) -> jnp.ndarray:
@@ -273,12 +257,19 @@ def _forward_one_tile(
         )
 
         om = 1.0 - alpha
-        # forward transmittance stays an EXACT Hillis-Steele product chain:
-        # it defines the blend weights and the early-stop decisions, so the
-        # ~1e-6 rounding of an exp(log-cumsum) reformulation would leak into
-        # every output pixel (the backward replay can afford it; this can't).
-        E = _exclusive_cumprod(om)  # prod of (1-a_j), j<k within chunk
-        I = E * om  # inclusive cumprod
+        # Transmittance via exp of an MXU prefix-sum of logs (round 3): the
+        # 14-pass Hillis-Steele chain this replaces was the single biggest
+        # VPU cost in the kernel.  om == 1.0 exactly on non-contributing
+        # lanes (log -> exact 0), contributing alphas are capped at 0.99 so
+        # log(om) is finite, and the ~1e-7 relative rounding of the log/exp
+        # round-trip is far below the 2e-4 image parity budget (the backward
+        # replay has always used this formulation, so fwd/bwd stay
+        # consistent).  Early-stop decisions use the same values, so they
+        # are self-consistent; vs the oracle they can flip only inside a
+        # ~1e-6-relative window around T_EPS.
+        lw = jnp.log(om)
+        cum_log = _dot_tri(lw, tri)  # inclusive cumsum of logs
+        E = jnp.exp(cum_log - lw)  # exclusive cumprod of (1-a_j)
         T_before = T * E
         test_T = T_before * om
         bad = eligible & (test_T < T_EPS)
@@ -303,11 +294,12 @@ def _forward_one_tile(
 
         # new transmittance: product of contributing (1-a) factors only.
         # With k* the first bad lane, that product is E[k*]; with no bad lane
-        # it is the full inclusive product I[last] (done pixels keep T).
+        # it is the full inclusive product exp(cum_log[last]) (done pixels
+        # keep T).
         any_bad = jnp.any(bad, axis=1, keepdims=True)
         first_bad = bad & (cs_bad == 1.0)
         E_at_bad = jnp.sum(jnp.where(first_bad, E, 0.0), axis=1, keepdims=True)
-        prod_om = jnp.where(any_bad, E_at_bad, _last_lane(I))
+        prod_om = jnp.where(any_bad, E_at_bad, jnp.exp(_last_lane(cum_log)))
         T_new = jnp.where(done, T, T * prod_om)
 
         # last contributor position (1-based within the tile range)

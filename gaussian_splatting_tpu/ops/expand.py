@@ -16,7 +16,7 @@ chunk and expand it ENTIRELY on the MXU:
 The one-hot operand is exactly bf16; the table rides a 3-way bf16 split
 (hi+mid+lo covers all 24 f32 mantissa bits), so the expansion is EXACT — a
 requirement, because these records feed the blend kernel whose image parity
-budget vs the oracle is 2e-5.
+budget vs the oracle is 2e-4.
 
 Boundedness: every Gaussian is given at least one instance (zero-tile
 Gaussians emit one *sentinel* instance with tile=num_tiles that sorts to the
@@ -93,96 +93,118 @@ def _dot_exact_rhs01(x, onehot):
 def _expand_kernel(
     base_ref,  # (nchunks,) int32 scalar prefetch: 128-aligned window base
     table_hbm,  # (NUM_TCOLS, P_pad) HBM, field-major
-    tile_ref,  # out (1, CHUNK) int32
-    depth_ref,  # out (1, CHUNK) f32
-    g_ref,  # out (1, CHUNK) int32
-    meta_ref,  # out (NUM_TCOLS, CHUNK) f32
-    win_vmem,  # (2, NUM_TCOLS, WINDOW) VMEM scratch
-    sems,  # (2,) DMA semaphores
+    tile_ref,  # out (1, T_PER*CHUNK) int32
+    depth_ref,  # out (1, T_PER*CHUNK) f32
+    g_ref,  # out (1, T_PER*CHUNK) int32
+    meta_ref,  # out (NUM_TCOLS, T_PER*CHUNK) f32
+    win_vmem,  # (2, t_per, NUM_TCOLS, WINDOW) VMEM scratch
+    sems,  # (2, t_per) DMA semaphores
     *,
     nchunks: int,
+    t_per: int,
     grid_x: int,
     grid_y: int,
     tile_w: int,
     tile_h: int,
 ):
-    c = pl.program_id(0)
+    """Processes ``t_per`` chunks per grid step: the whole group's window
+    DMAs are issued together (and the next group's prefetched), so the
+    per-chunk HBM latency and the fixed per-grid-step cost amortize."""
+    i = pl.program_id(0)
     num_tiles = grid_x * grid_y
 
-    def win_dma(slot, cc):
+    def win_dma(buf, t, cc):
         base = pl.multiple_of(base_ref[cc], CHUNK)
         return pltpu.make_async_copy(
             table_hbm.at[:, pl.ds(base, WINDOW)],
-            win_vmem.at[slot],
-            sems.at[slot],
+            win_vmem.at[buf, t],
+            sems.at[buf, t],
         )
 
-    @pl.when(c == 0)
+    def start_group(buf, grp):
+        for t in range(t_per):
+            c = grp * t_per + t
+
+            @pl.when(c < nchunks)
+            def _():
+                win_dma(buf, t, c).start()
+
+    @pl.when(i == 0)
     def _():
-        win_dma(0, 0).start()
+        start_group(0, 0)
 
-    @pl.when(c + 1 < nchunks)
+    @pl.when(i + 1 < pl.num_programs(0))
     def _():
-        win_dma(jax.lax.rem(c + 1, 2), c + 1).start()
+        start_group(jax.lax.rem(i + 1, 2), i + 1)
 
-    win_dma(jax.lax.rem(c, 2), c).wait()
-    win = win_vmem[jax.lax.rem(c, 2)]  # (NUM_TCOLS, WINDOW)
+    buf = jax.lax.rem(i, 2)
+    for t in range(t_per):
+        c = i * t_per + t
 
-    base = base_ref[c]
-    slot0 = c * CHUNK
-    # slots of this chunk, (1, CHUNK)
-    slot = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1) + slot0
-    ).astype(jnp.float32)
+        @pl.when(c < nchunks)
+        def _():
+            win_dma(buf, t, c).wait()
+            win = win_vmem[buf, t]  # (NUM_TCOLS, WINDOW)
 
-    offs = win[T_OFFSET, :]  # (WINDOW,) f32-exact ints (BIG on pad rows)
-    # geT[j, i] = offset[j] <= slot[i]
-    geT = (offs[:, None] <= slot).astype(jnp.float32)  # (WINDOW, CHUNK)
-    # one-hot ownership: last j with offset[j] <= slot  ->  geT - down-shift
-    ge_below = jnp.concatenate(
-        [geT[1:, :], jnp.zeros((1, CHUNK), jnp.float32)], axis=0
-    )
-    onehotT = geT - ge_below  # exactly one 1.0 per column
+            base = base_ref[c]
+            slot0 = c * CHUNK
+            # slots of this chunk, (1, CHUNK)
+            slot = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1) + slot0
+            ).astype(jnp.float32)
 
-    rows = _dot_exact_rhs01(win, onehotT)  # (NUM_TCOLS, CHUNK) expanded
+            offs = win[T_OFFSET, :]  # (WINDOW,) f32-exact ints (BIG on pads)
+            # geT[j, i] = offset[j] <= slot[i]
+            geT = (offs[:, None] <= slot).astype(jnp.float32)  # (WINDOW, CHUNK)
+            # one-hot ownership: last j with offset[j] <= slot
+            ge_below = jnp.concatenate(
+                [geT[1:, :], jnp.zeros((1, CHUNK), jnp.float32)], axis=0
+            )
+            onehotT = geT - ge_below  # exactly one 1.0 per column
 
-    # g index: count of offsets <= slot, single exact pass (0/1 inputs)
-    counts = jnp.dot(
-        jnp.ones((1, WINDOW), jnp.float32), geT,
-        preferred_element_type=jnp.float32,
-    )  # (1, CHUNK)
-    g = base + counts.astype(jnp.int32) - 1
+            rows = _dot_exact_rhs01(win, onehotT)  # (NUM_TCOLS, CHUNK)
 
-    local = slot - rows[T_OFFSET : T_OFFSET + 1, :]  # (1, CHUNK)
-    w = rows[T_RECT_W : T_RECT_W + 1, :]
-    # local // w and local % w in f32: (local + 0.5) / w never lands on an
-    # integer for local < 2^22, w < 2^10, so floor is 1-ulp safe.
-    ty_off = jnp.floor((local + 0.5) / w)
-    tx_off = local - ty_off * w
-    ty = rows[T_RECT_Y : T_RECT_Y + 1, :] + ty_off
-    tx = rows[T_RECT_X : T_RECT_X + 1, :] + tx_off
+            # g index: count of offsets <= slot, single exact pass (0/1)
+            counts = jnp.dot(
+                jnp.ones((1, WINDOW), jnp.float32), geT,
+                preferred_element_type=jnp.float32,
+            )  # (1, CHUNK)
+            g = base + counts.astype(jnp.int32) - 1
 
-    # exact circle-vs-tile cull (ops/binning.py round 1): closest pixel
-    # center of the tile farther than cut_radius -> alpha < 1/255 everywhere
-    cx = rows[T_MX : T_MX + 1, :]
-    cy = rows[T_MY : T_MY + 1, :]
-    qx = jnp.clip(cx, tx * tile_w, tx * tile_w + (tile_w - 1))
-    qy = jnp.clip(cy, ty * tile_h, ty * tile_h + (tile_h - 1))
-    d2 = (qx - cx) ** 2 + (qy - cy) ** 2
-    cutr = rows[T_CUTR : T_CUTR + 1, :]
-    hit = d2 <= cutr * cutr
+            local = slot - rows[T_OFFSET : T_OFFSET + 1, :]  # (1, CHUNK)
+            w = rows[T_RECT_W : T_RECT_W + 1, :]
+            # local // w and local % w in f32: (local + 0.5) / w never lands
+            # on an integer for local < 2^22, w < 2^10, so floor is safe.
+            ty_off = jnp.floor((local + 0.5) / w)
+            tx_off = local - ty_off * w
+            ty = rows[T_RECT_Y : T_RECT_Y + 1, :] + ty_off
+            tx = rows[T_RECT_X : T_RECT_X + 1, :] + tx_off
 
-    depth = rows[T_DEPTH : T_DEPTH + 1, :]
-    valid = hit & (depth < BIG)
-    tile = jnp.where(valid, ty * grid_x + tx, float(num_tiles))
-    depth_out = jnp.where(valid, depth, BIG)
+            # exact circle-vs-tile cull (ops/binning.py round 1): closest
+            # pixel center of the tile farther than cut_radius -> alpha <
+            # 1/255 everywhere
+            cx = rows[T_MX : T_MX + 1, :]
+            cy = rows[T_MY : T_MY + 1, :]
+            qx = jnp.clip(cx, tx * tile_w, tx * tile_w + (tile_w - 1))
+            qy = jnp.clip(cy, ty * tile_h, ty * tile_h + (tile_h - 1))
+            d2 = (qx - cx) ** 2 + (qy - cy) ** 2
+            cutr = rows[T_CUTR : T_CUTR + 1, :]
+            hit = d2 <= cutr * cutr
 
-    tile_ref[...] = tile.astype(jnp.int32)
-    depth_ref[...] = depth_out
-    g_ref[...] = g
-    meta_rows = [rows[r : r + 1, :] for r in _META_ROWS]
-    meta_rows.append(jnp.zeros((NUM_TCOLS - len(_META_ROWS), CHUNK), jnp.float32))
-    meta_ref[...] = jnp.concatenate(meta_rows, axis=0)
+            depth = rows[T_DEPTH : T_DEPTH + 1, :]
+            valid = hit & (depth < BIG)
+            tile = jnp.where(valid, ty * grid_x + tx, float(num_tiles))
+            depth_out = jnp.where(valid, depth, BIG)
+
+            sl = slice(t * CHUNK, (t + 1) * CHUNK)
+            tile_ref[:, sl] = tile.astype(jnp.int32)
+            depth_ref[:, sl] = depth_out
+            g_ref[:, sl] = g
+            meta_rows = [rows[r : r + 1, :] for r in _META_ROWS]
+            meta_rows.append(
+                jnp.zeros((NUM_TCOLS - len(_META_ROWS), CHUNK), jnp.float32)
+            )
+            meta_ref[:, sl] = jnp.concatenate(meta_rows, axis=0)
 
 
 def expand_instances(
@@ -194,6 +216,7 @@ def expand_instances(
     grid_y: int,
     tile_w: int,
     tile_h: int,
+    t_per: int = 8,
     interpret: bool = False,
 ):
     """Expansion-order instance records + (tile, depth) sort keys + g.
@@ -204,9 +227,11 @@ def expand_instances(
     assert capacity % CHUNK == 0
     nchunks = capacity // CHUNK
     assert chunk_bases.shape[0] == nchunks
+    nprog = -(-nchunks // t_per)
     kernel = functools.partial(
         _expand_kernel,
         nchunks=nchunks,
+        t_per=t_per,
         grid_x=grid_x,
         grid_y=grid_y,
         tile_w=tile_w,
@@ -214,31 +239,32 @@ def expand_instances(
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nchunks,),
+        grid=(nprog,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=[
-            pl.BlockSpec((1, CHUNK), lambda c, b_: (0, c)),
-            pl.BlockSpec((1, CHUNK), lambda c, b_: (0, c)),
-            pl.BlockSpec((1, CHUNK), lambda c, b_: (0, c)),
-            pl.BlockSpec((NUM_TCOLS, CHUNK), lambda c, b_: (0, c)),
+            pl.BlockSpec((1, t_per * CHUNK), lambda i, b_: (0, i)),
+            pl.BlockSpec((1, t_per * CHUNK), lambda i, b_: (0, i)),
+            pl.BlockSpec((1, t_per * CHUNK), lambda i, b_: (0, i)),
+            pl.BlockSpec((NUM_TCOLS, t_per * CHUNK), lambda i, b_: (0, i)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, NUM_TCOLS, WINDOW), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, t_per, NUM_TCOLS, WINDOW), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, t_per)),
         ],
     )
+    cap_pad = nprog * t_per * CHUNK
     tile, depth, g, meta = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((1, capacity), jnp.int32),
-            jax.ShapeDtypeStruct((1, capacity), jnp.float32),
-            jax.ShapeDtypeStruct((1, capacity), jnp.int32),
-            jax.ShapeDtypeStruct((NUM_TCOLS, capacity), jnp.float32),
+            jax.ShapeDtypeStruct((1, cap_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, cap_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, cap_pad), jnp.int32),
+            jax.ShapeDtypeStruct((NUM_TCOLS, cap_pad), jnp.float32),
         ],
         interpret=interpret,
     )(chunk_bases, table_T)
-    return tile[0], depth[0], g[0], meta
+    return tile[0, :capacity], depth[0, :capacity], g[0, :capacity], meta[:, :capacity]
 
 
 # --------------------------------------------------------------------------
@@ -249,41 +275,55 @@ def expand_instances(
 def _align_kernel(
     src_ref,  # (n_out_chunks,) int32 scalar prefetch: compact src start/chunk
     meta_hbm,  # (NUM_TCOLS, cap_padded) compact sorted records
-    out_ref,  # (NUM_TCOLS, CHUNK) aligned output block
-    win_vmem,  # (2, NUM_TCOLS, WINDOW)
-    sems,
+    out_ref,  # (NUM_TCOLS, T_PER*CHUNK) aligned output block
+    win_vmem,  # (2, t_per, NUM_TCOLS, WINDOW)
+    sems,  # (2, t_per)
     *,
     n_out_chunks: int,
+    t_per: int,
 ):
-    k = pl.program_id(0)
+    """t_per output chunks per grid step (DMA latency + step cost amortize)."""
+    p = pl.program_id(0)
 
-    def win_dma(slot, kk):
-        base = pl.multiple_of(
-            (src_ref[kk] // CHUNK) * CHUNK, CHUNK
-        )
+    def win_dma(buf, t, kk):
+        base = pl.multiple_of((src_ref[kk] // CHUNK) * CHUNK, CHUNK)
         return pltpu.make_async_copy(
             meta_hbm.at[:, pl.ds(base, WINDOW)],
-            win_vmem.at[slot],
-            sems.at[slot],
+            win_vmem.at[buf, t],
+            sems.at[buf, t],
         )
 
-    @pl.when(k == 0)
+    def start_group(buf, grp):
+        for t in range(t_per):
+            k = grp * t_per + t
+
+            @pl.when(k < n_out_chunks)
+            def _():
+                win_dma(buf, t, k).start()
+
+    @pl.when(p == 0)
     def _():
-        win_dma(0, 0).start()
+        start_group(0, 0)
 
-    @pl.when(k + 1 < n_out_chunks)
+    @pl.when(p + 1 < pl.num_programs(0))
     def _():
-        win_dma(jax.lax.rem(k + 1, 2), k + 1).start()
+        start_group(jax.lax.rem(p + 1, 2), p + 1)
 
-    win_dma(jax.lax.rem(k, 2), k).wait()
-    win = win_vmem[jax.lax.rem(k, 2)]  # (NUM_TCOLS, WINDOW)
-
-    r = src_ref[k] - (src_ref[k] // CHUNK) * CHUNK  # in [0, CHUNK)
-    # out[:, i] = win[:, r + i]: one-hot selector, exact 3-pass bf16 matmul
+    buf = jax.lax.rem(p, 2)
     j = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, CHUNK), 0)
     i = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, CHUNK), 1)
-    sel = (j == i + r).astype(jnp.float32)  # (WINDOW, CHUNK)
-    out_ref[...] = _dot_exact_rhs01(win, sel)
+    for t in range(t_per):
+        k = p * t_per + t
+
+        @pl.when(k < n_out_chunks)
+        def _():
+            win_dma(buf, t, k).wait()
+            win = win_vmem[buf, t]  # (NUM_TCOLS, WINDOW)
+
+            r = src_ref[k] - (src_ref[k] // CHUNK) * CHUNK  # in [0, CHUNK)
+            # out[:, i] = win[:, r + i]: one-hot selector, exact bf16 matmul
+            sel = (j == i + r).astype(jnp.float32)  # (WINDOW, CHUNK)
+            out_ref[:, t * CHUNK : (t + 1) * CHUNK] = _dot_exact_rhs01(win, sel)
 
 
 def align_instances(
@@ -291,6 +331,7 @@ def align_instances(
     src_starts: jnp.ndarray,  # (n_out_chunks,) compact offset per aligned chunk
     *,
     cap_aligned: int,
+    t_per: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Relayout the compact sorted stream so every tile's range starts at a
@@ -302,20 +343,28 @@ def align_instances(
     assert cap_aligned % CHUNK == 0
     n_out_chunks = cap_aligned // CHUNK
     assert src_starts.shape[0] == n_out_chunks
-    kernel = functools.partial(_align_kernel, n_out_chunks=n_out_chunks)
+    nprog = -(-n_out_chunks // t_per)
+    kernel = functools.partial(
+        _align_kernel, n_out_chunks=n_out_chunks, t_per=t_per
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_out_chunks,),
+        grid=(nprog,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=pl.BlockSpec((NUM_TCOLS, CHUNK), lambda k, s_: (0, k)),
+        out_specs=pl.BlockSpec(
+            (NUM_TCOLS, t_per * CHUNK), lambda p, s_: (0, p)
+        ),
         scratch_shapes=[
-            pltpu.VMEM((2, NUM_TCOLS, WINDOW), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, t_per, NUM_TCOLS, WINDOW), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, t_per)),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((NUM_TCOLS, cap_aligned), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (NUM_TCOLS, nprog * t_per * CHUNK), jnp.float32
+        ),
         interpret=interpret,
     )(src_starts, meta_compact)
+    return out[:, :cap_aligned]

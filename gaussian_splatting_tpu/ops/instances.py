@@ -49,6 +49,7 @@ class InstanceLayout(NamedTuple):
     starts_compact: jnp.ndarray  # (num_tiles,) int32 compact (gapless) starts
     n_valid: jnp.ndarray  # () int32 — compact stream length (non-sentinel)
     sorted_src: jnp.ndarray  # (capacity,) int32 expansion slot per sorted pos
+    g_exp: jnp.ndarray  # (capacity,) int32 owning Gaussian per expansion slot
     flags_exp: jnp.ndarray  # (capacity,) f32 1.0 at each Gaussian's first slot
     seg_ends: jnp.ndarray  # (P,) int32 expansion segment end per Gaussian
     nonempty: jnp.ndarray  # (P,) bool — Gaussian owns >= 1 real instance
@@ -220,6 +221,7 @@ def build_instances(
     else:
         sorted_src = jnp.zeros((capacity,), jnp.int32)
         flags_exp = jnp.zeros((capacity,), jnp.float32)
+        g_exp = jnp.zeros((capacity,), jnp.int32)
 
     seg_ends = jnp.minimum(incl, capacity).astype(jnp.int32)
     seg_starts = jnp.minimum(incl - counts, capacity).astype(jnp.int32)
@@ -232,6 +234,7 @@ def build_instances(
         starts_compact=starts_t,
         n_valid=starts_ext[num_tiles],
         sorted_src=sorted_src,
+        g_exp=g_exp,
         flags_exp=flags_exp,
         seg_ends=seg_ends,
         nonempty=nonempty,

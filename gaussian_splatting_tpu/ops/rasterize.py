@@ -106,19 +106,18 @@ def _make_render_core(grid_x, grid_y, tile_w, tile_h, chunk, capacity, interpret
             layout.starts_compact,
             layout.n_valid,
             layout.sorted_src,
-            layout.flags_exp,
-            layout.seg_ends,
-            layout.nonempty,
+            layout.g_exp,
             packed,
             jax.tree_util.tree_map(_float0_zeros, proj_sg),
         )
         return (packed, (layout.overflow, layout.num_instances)), res
 
     def core_bwd(res, ct):
-        from gaussian_splatting_tpu.ops.segscan import segmented_cumsum
+        from gaussian_splatting_tpu.ops.segreduce import segment_reduce_rows
 
-        (meta, starts, ends, cstarts, n_valid, sorted_src, flags, seg_ends,
-         nonempty, packed, proj_zeros) = res
+        (meta, starts, ends, cstarts, n_valid, sorted_src, g_exp,
+         packed, proj_zeros) = res
+        num_gaussians = proj_zeros.opacities.shape[0]
         ct_packed, _ = ct  # aux outputs (overflow, count) carry float0 cts
         # per-instance grads in COMPACT sorted order (staging-stream kernel)
         dmeta = bp.blend_backward_compact_pallas(
@@ -143,13 +142,12 @@ def _make_render_core(grid_x, grid_y, tile_w, tile_h, chunk, capacity, interpret
             ],
             axis=0,
         )
-        # Sequential segmented scan: exact zeros for zero-grad Gaussians
-        # (Adam turns gradient dust into full-size steps — see ops/segscan.py)
-        cs = segmented_cumsum(e, flags, interpret=interpret)
-        d_all = jnp.where(
-            nonempty[:, None], cs[:, jnp.maximum(seg_ends - 1, 0)].T, 0.0
-        )  # (P, 16)
-        d_fields = d_all.T[:10]  # (10, P)
+        # Streaming MXU segment reduce straight to per-Gaussian field-major
+        # sums (round 3: replaces the sequential segmented cumsum + the
+        # per-Gaussian segment-end gather).  Exact zeros for zero-grad
+        # Gaussians (Adam turns gradient dust into full-size steps).
+        d16 = segment_reduce_rows(e, g_exp, num_gaussians, interpret=interpret)
+        d_fields = d16[:10, :num_gaussians]  # (10, P)
         return d_fields, proj_zeros
 
     core.defvjp(core_fwd, core_bwd)

@@ -41,7 +41,7 @@ def test_antialiasing_changes_output(scene):
 def test_antialiasing_pallas_matches_oracle(scene):
     d = _render(scene, "dense", True)
     p = _render(scene, "pallas", True)
-    np.testing.assert_allclose(np.asarray(p.image), np.asarray(d.image), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(p.image), np.asarray(d.image), atol=2e-4)
 
 
 def test_antialiasing_gradient_parity(scene):
