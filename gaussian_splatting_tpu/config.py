@@ -92,6 +92,13 @@ class RasterizeConfig:
     instance_slack: float = 2.0
     antialiasing: bool = False
     impl: str = "auto"  # "auto" | "pallas" | "jax" | "dense"
+    # Debug fallbacks (reference arguments/__init__.py:68-69 +
+    # gaussian_renderer/__init__.py:86-111): compute SH->RGB / the 3D
+    # covariance OUTSIDE preprocess and feed them through the
+    # colors_precomp/cov3d_precomp hooks — the oracle cross-check that the
+    # precomp path matches the fused path.
+    convert_SHs_python: bool = False
+    compute_cov3D_python: bool = False
 
 
 def save_config(cfg, path: str) -> None:

@@ -175,6 +175,48 @@ def _fused_ssim_bwd(res, g):
 fused_ssim.defvjp(_fused_ssim_fwd, _fused_ssim_bwd)
 
 
+@jax.custom_vjp
+def fused_ssim_weighted_sum(
+    img1: jnp.ndarray, img2: jnp.ndarray, weight: jnp.ndarray
+) -> jnp.ndarray:
+    """``sum(ssim_map * weight)`` with the fused one-blur backward.
+
+    The stripe-local SSIM building block (parallel/gshard.py): callers pass
+    a (3, Hext, W) strip extended by the 5-row blur halo and a per-pixel
+    ``weight`` (Hext, W) that selects the strip's core rows and carries the
+    1/denominator, so summing across devices reproduces the full-image
+    ``fused_ssim`` mean exactly.  Differentiable w.r.t. ``img1`` only;
+    ``weight`` is a constant.  Unlike the scalar-mean backward, a per-pixel
+    cotangent does NOT commute with the blur, so the gmap factor multiplies
+    the G-terms BEFORE the (self-adjoint: symmetric kernel + zero pad)
+    backward blur.
+    """
+    m, _ = _ssim_partials(img1[None], img2[None], 11, 1.5)
+    return jnp.sum(m[0] * weight[None])
+
+
+def _fused_ssim_ws_fwd(img1, img2, weight):
+    m, parts = _ssim_partials(img1[None], img2[None], 11, 1.5)
+    return jnp.sum(m[0] * weight[None]), (img1[None], img2[None], parts, weight)
+
+
+def _fused_ssim_ws_bwd(res, g):
+    img1, img2, (mu1, mu2, G1, G2, G3), weight = res
+    gmap = (g * weight)[None, None]  # (1, 1, Hext, W), broadcast over channels
+    stacked = jnp.concatenate(
+        [gmap * G1, gmap * G2, gmap * G2 * mu1, gmap * G3, gmap * G3 * mu2],
+        axis=1,
+    )
+    blurred = _blur(stacked, 11, 1.5)
+    c = img1.shape[1]
+    b1, b2, b2m1, b3, b3m2 = (blurred[:, i * c : (i + 1) * c] for i in range(5))
+    dimg1 = b1 + 2.0 * img1 * b2 - 2.0 * b2m1 + img2 * b3 - b3m2
+    return dimg1[0], jnp.zeros_like(dimg1[0]), jnp.zeros_like(weight)
+
+
+fused_ssim_weighted_sum.defvjp(_fused_ssim_ws_fwd, _fused_ssim_ws_bwd)
+
+
 def photometric_loss(
     image: jnp.ndarray, gt: jnp.ndarray, lambda_dssim: float, fast_ssim: bool = True
 ) -> jnp.ndarray:

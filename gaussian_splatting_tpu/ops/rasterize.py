@@ -197,6 +197,21 @@ def render(
     if impl == "auto":
         impl = "pallas"
 
+    # Debug fallbacks (reference gaussian_renderer/__init__.py:86-111): when
+    # requested, compute colors/cov3D up front and route them through the
+    # precomp hooks — exercises the same code path the reference's
+    # --convert_SHs_python/--compute_cov3D_python flags do.
+    cov3d_precomp = None
+    colors_precomp = None
+    if cfg.compute_cov3D_python:
+        from gaussian_splatting_tpu.ops.preprocess import build_covariance
+
+        cov3d_precomp = build_covariance(scales, quats, scale_modifier)
+    if cfg.convert_SHs_python:
+        from gaussian_splatting_tpu.ops.preprocess import sh_to_color
+
+        colors_precomp = sh_to_color(sh_degree, sh, means3d, cam.campos)
+
     proj = preprocess(
         means3d,
         scales,
@@ -209,6 +224,8 @@ def render(
         tile_h=tile_h,
         scale_modifier=scale_modifier,
         antialiasing=cfg.antialiasing,
+        cov3d_precomp=cov3d_precomp,
+        colors_precomp=colors_precomp,
     )
     if means2d_tap is not None:
         # NDC-scaled gradient tap (see module docstring).

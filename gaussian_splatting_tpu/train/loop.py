@@ -194,9 +194,13 @@ def train(
     viewer_port: int = 6009,
     tb_writer=None,
     debug_from: int = -1,
+    parallel: str = "none",  # none | dp | gshard  (SURVEY §7 configs 4-5)
+    parallel_devices: int = 0,  # 0 = all visible devices
 ) -> TrainState:
     random.seed(seed)
     np.random.seed(seed)
+    if parallel not in ("none", "dp", "gshard"):
+        raise ValueError(f"unknown parallel mode: {parallel}")
 
     # persist the run config next to the model (reference train.py:317-320;
     # render.py/metrics.py re-read it like get_combined_args)
@@ -214,7 +218,12 @@ def train(
     train_cams = scene.get_train_cameras()
     use_depth = any(c.invdepth is not None for c in train_cams)
     raster_holder = [
-        RasterizeConfig(antialiasing=pipe.antialiasing, impl=pipe.rasterizer_impl)
+        RasterizeConfig(
+            antialiasing=pipe.antialiasing,
+            impl=pipe.rasterizer_impl,
+            convert_SHs_python=pipe.convert_SHs_python,
+            compute_cov3D_python=pipe.compute_cov3D_python,
+        )
     ]
 
     state = init_train_state(scene.gaussians, len(train_cams))
@@ -237,6 +246,51 @@ def train(
         if model_cfg.white_background
         else np.zeros(3, np.float32)
     )
+
+    # ---- multi-device setup (camera DP / Gaussian+tile sharding) ----------
+    mesh = None
+    n_dev = 1
+    xcap_holder = [0]  # gshard per-destination exchange capacity (0 = auto)
+    if parallel != "none":
+        from jax.sharding import NamedSharding, PartitionSpec as PS
+
+        from gaussian_splatting_tpu.parallel.mesh import make_mesh
+
+        n_dev = parallel_devices or len(jax.devices())
+        mesh = make_mesh(n_dev)
+        print(f"[parallel] {parallel} over {n_dev} devices")
+
+    def _round_cap(c: int) -> int:
+        # gshard shards the capacity axis equally over the mesh
+        return -(-c // n_dev) * n_dev if parallel == "gshard" else c
+
+    def shard_state(s: TrainState) -> TrainState:
+        if parallel == "none":
+            return s
+        if parallel == "dp":
+            return jax.device_put(s, NamedSharding(mesh, PS()))
+        cap = s.model.capacity
+
+        def put(x):
+            spec = (
+                PS("data")
+                if getattr(x, "ndim", 0) >= 1 and x.shape[0] == cap
+                else PS()
+            )
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
+        return jax.tree_util.tree_map(put, s)
+
+    def unshard_state(s: TrainState) -> TrainState:
+        """Pull every array to the default device (eval renders, densify and
+        checkpointing run single-device; all are off the hot path)."""
+        if parallel != "gshard":
+            return s
+        return jax.tree_util.tree_map(lambda x: jnp.asarray(np.asarray(x)), s)
+
+    if parallel == "gshard" and state.model.capacity % n_dev:
+        state = grow_train_state(state, _round_cap(state.model.capacity))
+    state = shard_state(state)
 
     step_cache = {}
     # Device-resident batch cache, LRU-bounded by HBM bytes: at MipNeRF360
@@ -265,17 +319,32 @@ def train(
         return batch
 
     def get_step_fn(h, w):
-        key = (h, w, raster_holder[0].instance_slack)
+        key = (h, w, raster_holder[0].instance_slack, xcap_holder[0])
         if key not in step_cache:
-            step_cache[key] = jax.jit(
-                partial(
-                    train_step,
-                    opt=opt,
-                    raster=raster_holder[0],
-                    use_exposure=model_cfg.train_test_exp,
-                    use_depth=use_depth,
-                )
+            kw = dict(
+                opt=opt,
+                raster=raster_holder[0],
+                use_exposure=model_cfg.train_test_exp,
+                use_depth=use_depth,
             )
+            if parallel == "gshard":
+                from gaussian_splatting_tpu.parallel.gshard import (
+                    gshard_train_step,
+                )
+
+                fn = partial(
+                    gshard_train_step,
+                    mesh=mesh,
+                    exchange_capacity=xcap_holder[0],
+                    **kw,
+                )
+            elif parallel == "dp":
+                from gaussian_splatting_tpu.parallel.dp import dp_train_step
+
+                fn = partial(dp_train_step, mesh=mesh, **kw)
+            else:
+                fn = partial(train_step, **kw)
+            step_cache[key] = jax.jit(fn)
         return step_cache[key]
 
     densify_fn = jax.jit(
@@ -285,6 +354,9 @@ def train(
     reset_fn = jax.jit(opacity_reset_step)
 
     viewer = None
+    if viewer_ip and parallel == "gshard":
+        print("Viewer disabled in gshard mode (params are mesh-sharded)")
+        viewer_ip = ""
     if viewer_ip:
         from gaussian_splatting_tpu.viewer import ViewerServer
 
@@ -331,15 +403,51 @@ def train(
         cam_idx = cam_stack.pop()
         camera = train_cams[cam_idx]
 
-        if opt.random_background:
-            batch = make_batch(camera, np.random.rand(3).astype(np.float32))
-        else:
+        def batch_for(idx, c):
+            if opt.random_background:
+                return make_batch(c, np.random.rand(3).astype(np.float32))
             # device-resident batch cache: upload each camera's pixels once,
             # not every epoch (matters hugely through a remote-device tunnel)
-            batch = cache_batch(cam_idx, camera)
+            return cache_batch(idx, c)
+
+        if parallel == "dp":
+            # one camera per device, all sharing this camera's resolution
+            # (heterogeneous sizes are separate compiled steps, dp.py)
+            from gaussian_splatting_tpu.ops.camera_math import CameraParams
+
+            def _same(i):
+                c = train_cams[i]
+                return (c.height, c.width) == (camera.height, camera.width)
+
+            sel = [cam_idx]
+            j = len(cam_stack) - 1
+            while len(sel) < n_dev and j >= 0:
+                if _same(cam_stack[j]):
+                    sel.append(cam_stack.pop(j))
+                j -= 1
+            if len(sel) < n_dev:  # short epoch tail: sample with replacement
+                pool = [i for i in range(len(train_cams)) if _same(i)]
+                while len(sel) < n_dev:
+                    sel.append(random.choice(pool))
+            cameras = [train_cams[i] for i in sel]
+            cam_in = CameraParams(
+                viewmatrix=jnp.stack([c.cam.viewmatrix for c in cameras]),
+                projmatrix=jnp.stack([c.cam.projmatrix for c in cameras]),
+                campos=jnp.stack([c.cam.campos for c in cameras]),
+                tan_fovx=camera.cam.tan_fovx,
+                tan_fovy=camera.cam.tan_fovy,
+                width=camera.cam.width,
+                height=camera.cam.height,
+            )
+            batch_in = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs),
+                *[batch_for(i, c) for i, c in zip(sel, cameras)],
+            )
+        else:
+            cam_in, batch_in = camera.cam, batch_for(cam_idx, camera)
         prev_state = state
         fn = get_step_fn(camera.height, camera.width)
-        state, metrics = fn(state, camera.cam, batch)
+        state, metrics = fn(state, cam_in, batch_in)
 
         # ONE host<->device round-trip for all step scalars
         m = np.asarray(metrics["packed"])
@@ -357,8 +465,14 @@ def train(
             raster_holder[0] = dataclasses.replace(
                 raster_holder[0], instance_slack=slack
             )
+            if parallel == "gshard":
+                # exchange-buffer overflow (xovf) is OR'd into the flag; grow
+                # both capacities so either cause is cured by the retry
+                pt = state.model.capacity
+                cur_x = xcap_holder[0] or max(256, 2 * pt // (n_dev * n_dev) + 128)
+                xcap_holder[0] = min(2 * cur_x, pt // n_dev)
             fn = get_step_fn(camera.height, camera.width)
-            state, metrics = fn(prev_state, camera.cam, batch)
+            state, metrics = fn(prev_state, cam_in, batch_in)
             m = np.asarray(metrics["packed"])
             retries += 1
         if m[3] > 0:
@@ -437,20 +551,33 @@ def train(
                 "iter_time", (time.time() - t_iter_start) * 1000.0, iteration
             )
 
-        # capacity pressure: grow when >90% full
-        if iteration % 100 == 0:
-            alive = int(m[5])
-            if alive > 0.9 * state.model.capacity:
-                new_cap = int(state.model.capacity * 1.5)
-                print(f"[it {iteration}] growing capacity {state.model.capacity} -> {new_cap}")
+        # host-side state surgery: capacity growth, densification, opacity
+        # reset.  All off the hot path (100-iter boundaries).  In gshard
+        # mode the per-Gaussian arrays are pulled to the host, operated on
+        # single-device (densify's free-slot argsort is global over the
+        # capacity axis), and re-sharded — the simplest correct mesh-aware
+        # densification (VERDICT round-2 missing #2).
+        do_grow = iteration % 100 == 0 and int(m[5]) > 0.9 * state.model.capacity
+        do_densify = (
+            iteration < opt.densify_until_iter
+            and iteration > opt.densify_from_iter
+            and iteration % opt.densification_interval == 0
+        )
+        do_reset = iteration < opt.densify_until_iter and (
+            iteration % opt.opacity_reset_interval == 0
+            or (model_cfg.white_background and iteration == opt.densify_from_iter)
+        )
+        if do_grow or do_densify or do_reset:
+            state = unshard_state(state)
+            if do_grow:
+                new_cap = _round_cap(int(state.model.capacity * 1.5))
+                print(
+                    f"[it {iteration}] growing capacity "
+                    f"{state.model.capacity} -> {new_cap}"
+                )
                 state = grow_train_state(state, new_cap)
-
-        # densification (train.py:210-230)
-        if iteration < opt.densify_until_iter:
-            if (
-                iteration > opt.densify_from_iter
-                and iteration % opt.densification_interval == 0
-            ):
+            if do_densify:
+                # densification (train.py:210-230)
                 key, sub = jax.random.split(key)
                 dfn = (
                     densify_fn
@@ -459,11 +586,12 @@ def train(
                 )
                 state, dstats = dfn(state, sub)
                 if int(dstats["dropped"]) > 0:
-                    state = grow_train_state(state, int(state.model.capacity * 1.5))
-            if iteration % opt.opacity_reset_interval == 0 or (
-                model_cfg.white_background and iteration == opt.densify_from_iter
-            ):
+                    state = grow_train_state(
+                        state, _round_cap(int(state.model.capacity * 1.5))
+                    )
+            if do_reset:
                 state = reset_fn(state)
+            state = shard_state(state)
 
         if not quiet and iteration % 500 == 0:
             n = int(m[5])
@@ -478,26 +606,28 @@ def train(
 
         if iteration in test_iterations:
             report_psnr(
-                scene, state, raster_holder[0], model_cfg, iteration,
+                scene, unshard_state(state), raster_holder[0], model_cfg,
+                iteration,
                 tb_writer=tb_writer,
                 first_report=iteration == min(test_iterations, default=iteration),
             )
 
         if iteration in save_iterations and is_main_process():
             print(f"\n[ITER {iteration}] Saving Gaussians")
-            scene.save(iteration, state.model, state.exposures)
+            s_host = unshard_state(state)
+            scene.save(iteration, s_host.model, s_host.exposures)
 
         if iteration in checkpoint_iterations and is_main_process():
             print(f"\n[ITER {iteration}] Saving Checkpoint")
             save_checkpoint(
                 os.path.join(model_cfg.model_path, f"chkpnt{iteration}.pkl"),
-                state,
+                unshard_state(state),
                 iteration,
             )
 
     if viewer is not None:
         viewer.close()
-    return state
+    return unshard_state(state)
 
 
 def _activated_params(model):

@@ -70,7 +70,10 @@ def main():
     )
     antialiasing = pipe.antialiasing or args.antialiasing
     raster_cfg = RasterizeConfig(
-        antialiasing=antialiasing, impl=pipe.rasterizer_impl
+        antialiasing=antialiasing,
+        impl=pipe.rasterizer_impl,
+        convert_SHs_python=pipe.convert_SHs_python,
+        compute_cov3D_python=pipe.compute_cov3D_python,
     )
 
     import imageio.v2 as imageio

@@ -58,6 +58,7 @@ def test_antialiasing_gradient_parity(scene):
     )
 
 
+@pytest.mark.heavy
 def test_depth_loss_gradient_flows():
     """With use_depth, the invdepth L1 term produces gradients on means3d
     depth (z) and the loss includes the weighted depth term."""

@@ -62,3 +62,35 @@ def test_fused_ssim_image_optimization_converges(rng):
         if first is None:
             first = float(loss)
     assert float(loss) < 0.5 * first
+
+
+def test_fused_ssim_weighted_sum_matches_autodiff():
+    """Per-pixel-weighted SSIM sum (the stripe-local building block) must
+    agree with autodiff through the plain ssim map formula, including the
+    non-commuting gmap-inside-blur backward."""
+    import jax
+
+    from gaussian_splatting_tpu.ops.losses import (
+        _blur,
+        _ssim_partials,
+        fused_ssim_weighted_sum,
+    )
+
+    rng = np.random.default_rng(11)
+    H, W = 24, 20
+    img1 = jnp.asarray(rng.random((3, H, W)), jnp.float32)
+    img2 = jnp.asarray(rng.random((3, H, W)), jnp.float32)
+    weight = jnp.asarray(rng.random((H, W)), jnp.float32)
+
+    def ref(i1):
+        m, _ = _ssim_partials(i1[None], img2[None], 11, 1.5)
+        return jnp.sum(m[0] * weight[None])
+
+    v_ref, g_ref = jax.value_and_grad(ref)(img1)
+    v, g = jax.value_and_grad(
+        lambda i1: fused_ssim_weighted_sum(i1, img2, weight)
+    )(img1)
+    np.testing.assert_allclose(float(v), float(v_ref), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(g_ref), atol=2e-5, rtol=1e-4
+    )

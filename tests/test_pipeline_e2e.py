@@ -9,6 +9,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy
+
 from gaussian_splatting_tpu.config import ModelConfig, OptimizationConfig, PipelineConfig
 from gaussian_splatting_tpu.utils.synthetic_dataset import generate_blender_dataset
 

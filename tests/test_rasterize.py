@@ -201,3 +201,32 @@ def test_compact_backward_drain_no_stale_gradients():
     # every valid slot past the last contributor gets EXACTLY zero — the
     # final-window drain flush (slots 256..300) is where stale data leaked
     np.testing.assert_array_equal(d[:, chunk:n_inst], 0.0)
+
+
+def test_precomp_debug_flags_match_fused_path():
+    """--convert_SHs_python / --compute_cov3D_python route colors/cov3D
+    through the precomp hooks (reference gaussian_renderer/__init__.py:86-111)
+    and must reproduce the fused path exactly."""
+    import dataclasses
+
+    from gaussian_splatting_tpu.config import RasterizeConfig
+
+    scene = random_scene(300, sh_degree=2, width=64, height=48, seed=21)
+    base_cfg = RasterizeConfig()
+    args = (
+        scene.means3d, scene.scales, scene.quats, scene.opacities, scene.sh,
+        scene.cam, scene.bg,
+    )
+    base = render(*args, sh_degree=2, cfg=base_cfg)
+    for flags in (
+        {"convert_SHs_python": True},
+        {"compute_cov3D_python": True},
+        {"convert_SHs_python": True, "compute_cov3D_python": True},
+    ):
+        out = render(
+            *args, sh_degree=2, cfg=dataclasses.replace(base_cfg, **flags)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.image), np.asarray(base.image), atol=1e-6,
+            err_msg=str(flags),
+        )

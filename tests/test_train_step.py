@@ -6,6 +6,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gaussian_splatting_tpu.config import OptimizationConfig, RasterizeConfig
 from gaussian_splatting_tpu.models.gaussians import create_from_pcd
@@ -57,6 +58,7 @@ def test_train_step_decreases_loss():
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+@pytest.mark.heavy
 def test_train_step_accumulates_densify_stats():
     state, cam, batch = _setup()
     opt = OptimizationConfig()
@@ -67,6 +69,7 @@ def test_train_step_accumulates_densify_stats():
     assert float(jnp.max(state.model.aux.max_radii2d)) > 0
 
 
+@pytest.mark.heavy
 def test_sparse_adam_only_updates_visible():
     state, cam, batch = _setup()
     opt = OptimizationConfig(optimizer_type="sparse_adam")
@@ -80,6 +83,7 @@ def test_sparse_adam_only_updates_visible():
     assert not moved[~alive].any()
 
 
+@pytest.mark.heavy
 def test_densify_and_reset_jitted():
     state, cam, batch = _setup()
     opt = OptimizationConfig()
@@ -99,6 +103,7 @@ def test_densify_and_reset_jitted():
     assert float(jnp.abs(state3.adam.mu.opacities).sum()) == 0.0
 
 
+@pytest.mark.heavy
 def test_grow_train_state():
     state, cam, batch = _setup(cap=160)
     opt = OptimizationConfig()
@@ -113,6 +118,7 @@ def test_grow_train_state():
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.heavy
 def test_exposure_step():
     state, cam, batch = _setup()
     opt = OptimizationConfig()
@@ -125,6 +131,7 @@ def test_exposure_step():
     assert d0 > 0
 
 
+@pytest.mark.heavy
 def test_render_camera_honors_raster_config_and_exposure():
     """Eval renders must use the training-time rasterizer settings.
 

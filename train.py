@@ -104,6 +104,12 @@ def main():
     parser.add_argument("--port", type=int, default=6009)
     parser.add_argument("--profile", type=str, default="",
                         help="directory for a jax.profiler trace of the hot loop")
+    parser.add_argument("--parallel", type=str, default="none",
+                        choices=["none", "dp", "gshard"],
+                        help="multi-device strategy: camera data-parallel or "
+                             "Gaussian+tile sharding (SURVEY §7 configs 4-5)")
+    parser.add_argument("--parallel_devices", type=int, default=0,
+                        help="mesh size (0 = all visible devices)")
     args = parser.parse_args()
     args.save_iterations.append(args.iterations)
 
@@ -164,6 +170,8 @@ def main():
         viewer_ip="" if args.disable_viewer else args.ip,
         viewer_port=args.port,
         tb_writer=tb_writer,
+        parallel=args.parallel,
+        parallel_devices=args.parallel_devices,
     )
     if args.profile:
         import jax
