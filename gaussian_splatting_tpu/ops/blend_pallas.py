@@ -55,7 +55,9 @@ T_EPS = 1e-4
 
 # Field-major instance record layout (rows of the (NUM_FIELDS, capacity) array)
 F_X, F_Y, F_CA, F_CB, F_CC, F_OP, F_R, F_G, F_B, F_INVD = range(10)
-NUM_FIELDS = 16  # padded for alignment
+# 16 rows (10 real + 6 zero pad): Mosaic only DMAs 8- or 16-row HBM blocks
+# (tools/micro_rowslice_probe.py), and the 10 blend fields don't fit 8.
+NUM_FIELDS = 16
 
 # Packed forward output columns: (num_tiles, PIX, OUT_COLS)
 # column 6 doubles as the per-pixel done flag while the kernel is running.

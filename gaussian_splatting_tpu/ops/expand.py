@@ -55,7 +55,11 @@ T_OP = 11  # opacity
 T_R = 12
 T_G = 13
 T_B = 14
-T_INVD = 15
+# Inverse depth is recomputed from the sorted depth key (see instances.py)
+# so it needs no expanded row; row 15 is zero padding.  The table stays 16
+# rows: Mosaic requires the second-minor dim of any sliced HBM memref to be
+# a multiple of the 8-sublane tile (a (15, N) table window DMA is rejected
+# with "Slice shape along dimension 0 must be aligned to tiling (8)").
 NUM_TCOLS = 16
 
 # Output meta row order == blend_pallas field order (F_X..F_B).  F_INVD is
@@ -63,6 +67,7 @@ NUM_TCOLS = 16
 # KEY (bitwise-identical 1/depth), saving one sort payload operand
 # (~1.85 ms/iter at bench scale).
 _META_ROWS = (T_MX, T_MY, T_CA, T_CB, T_CC, T_OP, T_R, T_G, T_B)
+NUM_MROWS = len(_META_ROWS)  # 9 — meta output carries only real fields
 
 WINDOW = 256  # table rows fetched per 128-slot chunk
 CHUNK = 128
@@ -201,6 +206,10 @@ def _expand_kernel(
             depth_ref[:, sl] = depth_out
             g_ref[:, sl] = g
             meta_rows = [rows[r : r + 1, :] for r in _META_ROWS]
+            # zero rows pad the output to 16: Mosaic rejects 9-15-row HBM
+            # blocks (see NUM_TCOLS note / tools/micro_rowslice_probe.py),
+            # and these kernels are per-chunk-overhead-bound, not
+            # byte-bound, so the padding costs ~nothing.
             meta_rows.append(
                 jnp.zeros((NUM_TCOLS - len(_META_ROWS), CHUNK), jnp.float32)
             )
@@ -222,12 +231,12 @@ def expand_instances(
     """Expansion-order instance records + (tile, depth) sort keys + g.
 
     Returns (tile (cap,) i32, depth (cap,) f32, g (cap,) i32,
-    meta (NUM_TCOLS, cap) f32 rows F_X..F_INVD).
+    meta (NUM_TCOLS, cap) f32 — rows 0..8 are F_X..F_B, rest zero pad).
     """
-    assert capacity % CHUNK == 0
+    assert capacity % (t_per * CHUNK) == 0
     nchunks = capacity // CHUNK
     assert chunk_bases.shape[0] == nchunks
-    nprog = -(-nchunks // t_per)
+    nprog = nchunks // t_per
     kernel = functools.partial(
         _expand_kernel,
         nchunks=nchunks,
@@ -252,19 +261,18 @@ def expand_instances(
             pltpu.SemaphoreType.DMA((2, t_per)),
         ],
     )
-    cap_pad = nprog * t_per * CHUNK
     tile, depth, g, meta = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((1, cap_pad), jnp.int32),
-            jax.ShapeDtypeStruct((1, cap_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, cap_pad), jnp.int32),
-            jax.ShapeDtypeStruct((NUM_TCOLS, cap_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, capacity), jnp.int32),
+            jax.ShapeDtypeStruct((1, capacity), jnp.float32),
+            jax.ShapeDtypeStruct((1, capacity), jnp.int32),
+            jax.ShapeDtypeStruct((NUM_TCOLS, capacity), jnp.float32),
         ],
         interpret=interpret,
     )(chunk_bases, table_T)
-    return tile[0, :capacity], depth[0, :capacity], g[0, :capacity], meta[:, :capacity]
+    return tile[0], depth[0], g[0], meta
 
 
 # --------------------------------------------------------------------------
@@ -274,9 +282,9 @@ def expand_instances(
 
 def _align_kernel(
     src_ref,  # (n_out_chunks,) int32 scalar prefetch: compact src start/chunk
-    meta_hbm,  # (NUM_TCOLS, cap_padded) compact sorted records
-    out_ref,  # (NUM_TCOLS, T_PER*CHUNK) aligned output block
-    win_vmem,  # (2, t_per, NUM_TCOLS, WINDOW)
+    meta_hbm,  # (rows, cap_padded) compact sorted records
+    out_ref,  # (rows, T_PER*CHUNK) aligned output block
+    win_vmem,  # (2, t_per, rows, WINDOW)
     sems,  # (2, t_per)
     *,
     n_out_chunks: int,
@@ -327,7 +335,7 @@ def _align_kernel(
 
 
 def align_instances(
-    meta_compact: jnp.ndarray,  # (NUM_TCOLS, capacity + WINDOW pad)
+    meta_compact: jnp.ndarray,  # (rows, capacity + WINDOW pad)
     src_starts: jnp.ndarray,  # (n_out_chunks,) compact offset per aligned chunk
     *,
     cap_aligned: int,
@@ -340,10 +348,11 @@ def align_instances(
     contiguous 128-slice of the input at an arbitrary offset, realized as an
     aligned 256-window fetch + an exact one-hot lane rotation on the MXU.
     """
-    assert cap_aligned % CHUNK == 0
+    assert cap_aligned % (t_per * CHUNK) == 0
+    rows = meta_compact.shape[0]
     n_out_chunks = cap_aligned // CHUNK
     assert src_starts.shape[0] == n_out_chunks
-    nprog = -(-n_out_chunks // t_per)
+    nprog = n_out_chunks // t_per
     kernel = functools.partial(
         _align_kernel, n_out_chunks=n_out_chunks, t_per=t_per
     )
@@ -352,19 +361,16 @@ def align_instances(
         grid=(nprog,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(
-            (NUM_TCOLS, t_per * CHUNK), lambda p, s_: (0, p)
+            (rows, t_per * CHUNK), lambda p, s_: (0, p)
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, t_per, NUM_TCOLS, WINDOW), jnp.float32),
+            pltpu.VMEM((2, t_per, rows, WINDOW), jnp.float32),
             pltpu.SemaphoreType.DMA((2, t_per)),
         ],
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (NUM_TCOLS, nprog * t_per * CHUNK), jnp.float32
-        ),
+        out_shape=jax.ShapeDtypeStruct((rows, cap_aligned), jnp.float32),
         interpret=interpret,
     )(src_starts, meta_compact)
-    return out[:, :cap_aligned]

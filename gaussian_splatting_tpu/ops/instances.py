@@ -43,7 +43,7 @@ MAX_CAPACITY = 1 << 24  # f32-exact integer range
 class InstanceLayout(NamedTuple):
     """Sorted, chunk-aligned instance records + everything the VJP needs."""
 
-    meta_aligned: jnp.ndarray  # (16, cap_aligned + CHUNK) blend-kernel records
+    meta_aligned: jnp.ndarray  # (16, cap_aligned) blend-kernel records
     tile_starts: jnp.ndarray  # (num_tiles,) int32, multiples of CHUNK
     tile_ends: jnp.ndarray  # (num_tiles,) int32 = start + true count
     starts_compact: jnp.ndarray  # (num_tiles,) int32 compact (gapless) starts
@@ -87,6 +87,15 @@ def build_instances(
     P = proj.tiles_touched.shape[0]
     num_tiles = grid_x * grid_y
 
+    # Internal working size: capacity + one align-window of tail slack,
+    # rounded to the expand kernel's grid granularity.  Everything from the
+    # expansion through the sorts runs at cap_int, so no stage needs a
+    # slice/pad copy between kernels (round-2 spent ~6 ms/iter at bench
+    # scale on those copies).  Slots past the real demand are terminator-
+    # owned (tile == num_tiles, depth BIG) and sort to the dropped tail.
+    gran = 8 * CHUNK  # expand/align t_per = 8
+    cap_int = -(-(capacity + WINDOW) // gran) * gran
+
     touched = proj.tiles_touched > 0
     counts = jnp.where(touched, proj.tiles_touched, 1)  # sentinels
     incl = jnp.cumsum(counts)
@@ -113,10 +122,11 @@ def build_instances(
     table_rows[ex.T_R] = diff_fields[6]
     table_rows[ex.T_G] = diff_fields[7]
     table_rows[ex.T_B] = diff_fields[8]
-    # T_INVD is not carried: inverse depth is recomputed from the sorted
-    # depth key (bitwise-identical 1/depth; diff_fields[9] == 1/safe_depth
-    # with safe_depth == depth for every instance that reaches the blend)
-    table_rows[ex.T_INVD] = jnp.zeros_like(diff_fields[0])
+    # Inverse depth is not carried: it is recomputed from the sorted depth
+    # key (bitwise-identical 1/depth; diff_fields[9] == 1/safe_depth with
+    # safe_depth == depth for every instance that reaches the blend).  Row
+    # 15 is zero padding — Mosaic only DMAs 8- or 16-row HBM windows.
+    table_rows[ex.NUM_TCOLS - 1] = jnp.zeros_like(diff_fields[0])
     table = jnp.stack(table_rows, axis=0)  # (16, P)
 
     # terminator column (owns every slot >= total) + BIG-offset pad columns
@@ -132,7 +142,7 @@ def build_instances(
     table_T = jnp.concatenate([table, term, pad], axis=1)
 
     # ---- per-chunk window bases: histogram of offsets by chunk ----
-    nchunks = capacity // CHUNK
+    nchunks = cap_int // CHUNK
     offs_ext = jnp.concatenate(
         [offsets, total_sent.astype(jnp.float32)[None]]
     ).astype(jnp.int32)
@@ -148,7 +158,7 @@ def build_instances(
     tile, depth, g_exp, meta_exp = ex.expand_instances(
         table_T,
         chunk_bases,
-        capacity=capacity,
+        capacity=cap_int,
         grid_x=grid_x,
         grid_y=grid_y,
         tile_w=tile_w,
@@ -159,7 +169,7 @@ def build_instances(
     # ---- the payload sort (9 fields; invd recomputed from the depth key) ----
     payload = tuple(meta_exp[i] for i in range(9))
     if grad_layout:
-        src = jnp.arange(capacity, dtype=jnp.int32)
+        src = jnp.arange(cap_int, dtype=jnp.int32)
         out = jax.lax.sort((tile, depth) + payload + (src,), num_keys=2, is_stable=True)
         sorted_tile = out[0]
         sorted_fields = out[2:11]
@@ -182,14 +192,20 @@ def build_instances(
 
     aligned_counts = ((counts_t + CHUNK - 1) // CHUNK) * CHUNK
     aligned_starts = (jnp.cumsum(aligned_counts) - aligned_counts).astype(jnp.int32)
-    cap_aligned = aligned_capacity(capacity, num_tiles)
+    # +CHUNK of tail slack for the blend kernels' last-chunk prefetch,
+    # rounded to the align kernel's grid granularity (no pad copy after).
+    cap_aligned = -(-(aligned_capacity(capacity, num_tiles) + CHUNK) // gran) * gran
 
     # ---- compact sorted meta -> aligned relayout (Pallas rotate kernel) ----
-    zeros_rows = jnp.zeros((ex.NUM_TCOLS - 10, capacity), jnp.float32)
+    # Rows 0..9 are F_X..F_INVD; rows 10..15 zero padding (Mosaic DMAs only
+    # 8- or 16-row HBM windows, and these kernels are per-chunk-overhead
+    # bound, so the pad rows cost ~nothing — tools/micro_rowslice_probe.py).
+    # cap_int >= capacity + WINDOW, so the align kernel's 256-wide window
+    # fetches stay in bounds without a pad copy.
+    zeros_rows = jnp.zeros((ex.NUM_TCOLS - 10, cap_int), jnp.float32)
     meta_compact = jnp.concatenate(
         [jnp.stack(sorted_fields + (sorted_invd,), axis=0), zeros_rows], axis=0
     )
-    meta_compact = jnp.pad(meta_compact, ((0, 0), (0, WINDOW)))
 
     # aligned chunk -> owning tile (monotone marks+cumsum), -> compact src
     n_ach = cap_aligned // CHUNK
@@ -208,7 +224,6 @@ def build_instances(
     meta_aligned = ex.align_instances(
         meta_compact, src_starts, cap_aligned=cap_aligned, interpret=interpret
     )
-    meta_aligned = jnp.pad(meta_aligned, ((0, 0), (0, CHUNK)))
 
     # ---- gradient-layout bookkeeping ----
     if grad_layout:
@@ -219,12 +234,12 @@ def build_instances(
             ]
         )
     else:
-        sorted_src = jnp.zeros((capacity,), jnp.int32)
-        flags_exp = jnp.zeros((capacity,), jnp.float32)
-        g_exp = jnp.zeros((capacity,), jnp.int32)
+        sorted_src = jnp.zeros((cap_int,), jnp.int32)
+        flags_exp = jnp.zeros((cap_int,), jnp.float32)
+        g_exp = jnp.zeros((cap_int,), jnp.int32)
 
-    seg_ends = jnp.minimum(incl, capacity).astype(jnp.int32)
-    seg_starts = jnp.minimum(incl - counts, capacity).astype(jnp.int32)
+    seg_ends = jnp.minimum(incl, cap_int).astype(jnp.int32)
+    seg_starts = jnp.minimum(incl - counts, cap_int).astype(jnp.int32)
     nonempty = touched & (seg_ends > seg_starts)
 
     return InstanceLayout(

@@ -118,27 +118,29 @@ def _make_render_core(grid_x, grid_y, tile_w, tile_h, chunk, capacity, interpret
         (meta, starts, ends, cstarts, n_valid, sorted_src, g_exp,
          packed, proj_zeros) = res
         num_gaussians = proj_zeros.opacities.shape[0]
+        cap_int = sorted_src.shape[0]  # internal pipeline size (>= capacity)
         ct_packed, _ = ct  # aux outputs (overflow, count) carry float0 cts
         # per-instance grads in COMPACT sorted order (staging-stream kernel)
         dmeta = bp.blend_backward_compact_pallas(
             meta, starts, ends, cstarts, packed, ct_packed,
-            capacity=capacity, **kw
+            capacity=cap_int, **kw
         )
         # compact order -> expansion order rides a payload sort (the random
         # lane gather this replaces measured ~35 ms/iter at bench scale).
         # SELECT the valid stream first: slots past n_valid (sentinels,
         # circle-culled instances, overflow) are uninitialized HBM, and
         # NaN * 0 == NaN would leak into real gradients.
-        iota = jnp.arange(capacity, dtype=jnp.int32)
+        iota = jnp.arange(cap_int, dtype=jnp.int32)
         valid = iota < n_valid
         rows = tuple(
-            jnp.where(valid, dmeta[i, :capacity], 0.0) for i in range(10)
+            jnp.where(valid, dmeta[i, :cap_int], 0.0) for i in range(10)
         )
         sorted_out = jax.lax.sort((sorted_src,) + rows, num_keys=1)
+        # 16 rows (10 real + 6 zero): Mosaic only DMAs 8/16-row HBM blocks.
         e = jnp.concatenate(
             [
                 jnp.stack(sorted_out[1:], axis=0),
-                jnp.zeros((bp.NUM_FIELDS - 10, capacity), jnp.float32),
+                jnp.zeros((bp.NUM_FIELDS - 10, cap_int), jnp.float32),
             ],
             axis=0,
         )

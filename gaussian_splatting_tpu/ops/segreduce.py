@@ -36,7 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 CHUNK = 128
-ROWS = 16  # field-major gradient rows (10 real + 6 zero padding)
+MAX_ROWS = 16  # VMEM staging sanity bound; callers pass 10 real rows
 
 _SM_CURW, _SM_PEND0, _SM_PEND1, _SM_WIN0, _SM_WIN1 = range(5)
 
@@ -170,11 +170,11 @@ def segment_reduce_rows(
     t_per: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Per-Gaussian sums, shape (ROWS, P_out) with P_out >= num_gaussians + 1
+    """Per-Gaussian sums, shape (rows, P_out) with P_out >= num_gaussians + 1
     (row P collects the terminator tail's zeros).  Rows [0, num_gaussians)
     are the per-Gaussian gradient totals."""
     rows, n = vals.shape
-    assert rows == ROWS and n % CHUNK == 0
+    assert rows <= MAX_ROWS and n % CHUNK == 0
     nchunks = n // CHUNK
     # output covers every window the stream can touch: g <= num_gaussians
     # (terminator), window base <= P//128, +1 window for the second half
@@ -193,12 +193,12 @@ def segment_reduce_rows(
         num_scalar_prefetch=1,
         grid=(nprog,),
         in_specs=[
-            pl.BlockSpec((ROWS, t_per * CHUNK), lambda i, b_: (0, i)),
+            pl.BlockSpec((rows, t_per * CHUNK), lambda i, b_: (0, i)),
             pl.BlockSpec((1, t_per * CHUNK), lambda i, b_: (0, i)),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, rows, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((8,), jnp.int32),
         ],
@@ -206,7 +206,7 @@ def segment_reduce_rows(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((ROWS, p_out), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows, p_out), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(bases.astype(jnp.int32), vals, g_exp[None].astype(jnp.int32))

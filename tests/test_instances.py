@@ -95,9 +95,12 @@ def test_expansion_segment_bookkeeping():
     flags = np.asarray(layout.flags_exp)
     n_segs_in_cap = int((incl - counts < capacity).sum())
     assert flags.sum() >= n_segs_in_cap  # terminator tail may add segments
-    # the sort permutation is a bijection over instance slots
+    # the sort permutation is a bijection over the internal pipeline slots
+    # (capacity rounded up to the expand grid granularity + align slack)
     src_arr = np.asarray(layout.sorted_src)
-    assert sorted(src_arr.tolist()) == list(range(capacity))
+    cap_int = src_arr.shape[0]
+    assert cap_int >= capacity
+    assert sorted(src_arr.tolist()) == list(range(cap_int))
 
 
 def test_overflow_flag():

@@ -22,13 +22,23 @@ from gaussian_splatting_tpu.utils.testing import random_scene
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/gs_trace"
 
 scene = random_scene(500_000, sh_degree=3, width=1920, height=1080, seed=0,
-                     spread=2.0, scale_range=(0.004, 0.02), cam_distance=4.0)
-cfg = RasterizeConfig(instance_slack=4.5)
+                     spread=2.0, scale_range=(0.0025, 0.012), cam_distance=4.0)
+cfg = RasterizeConfig()
+
+# honest capacity, same as bench.py: measured demand + 5%
+from gaussian_splatting_tpu.ops.preprocess import preprocess
+
+_tt = jax.jit(lambda m, s, q, o, sh_: preprocess(
+    m, s, q, o, sh_, scene.cam, sh_degree=3).tiles_touched)(
+    scene.means3d, scene.scales, scene.quats, scene.opacities, scene.sh)
+_demand = int(jnp.sum(jnp.maximum(_tt, 1)))
+CAPACITY = -(-int(_demand * 1.05) // 128) * 128
+print(f"slot demand {_demand}, capacity {CAPACITY}", file=sys.stderr)
 
 
 def loss_fn(means3d, scales, quats, opacities, sh):
     out = render(means3d, scales, quats, opacities, sh, scene.cam, scene.bg,
-                 sh_degree=3, cfg=cfg, impl="pallas")
+                 sh_degree=3, cfg=cfg, impl="pallas", capacity=CAPACITY)
     return jnp.sum(out.image) + jnp.sum(out.invdepth)
 
 
