@@ -195,35 +195,37 @@ def _shade_analytic(orig, d, spheres, plane):
     ]
     ambient = 0.25
 
-    def light_term(pts, nrm, mask):
+    def light_term(pts, nrm):
+        """Shadowed lambertian term for a COMPRESSED point set (M, 3)."""
         lit = np.full(pts.shape[0], ambient)
         for ldir, lpow in lights:
             lam = np.maximum(nrm @ ldir, 0.0)
             # hard shadows: any sphere blocks the light ray
             shadow = np.zeros(pts.shape[0], bool)
             po = pts + 1e-3 * nrm
+            ld = np.broadcast_to(ldir, pts.shape)
             for s in spheres:
-                ts = _sphere_hit(po, np.broadcast_to(ldir, pts.shape), s["c"], s["r"])
-                shadow |= np.isfinite(ts)
+                shadow |= np.isfinite(_sphere_hit(po, ld, s["c"], s["r"]))
             lit = lit + lpow * lam * (~shadow)
-        return np.where(mask, lit, 0.0)
+        return lit
 
-    # plane shading
-    mp = best_id == -2
-    if mp.any():
-        u, v = p[:, 0], p[:, 2]
+    # plane shading (index-compressed: shadow rays only for actual hits)
+    idx = np.nonzero(best_id == -2)[0]
+    if idx.size:
+        pp = p[idx]
+        u, v = pp[:, 0], pp[:, 2]
         ck = _checker(u, v, plane["scale"])[:, None]
         base = np.where(ck > 0.5, plane["c1"], plane["c2"])
-        nrm = np.broadcast_to(np.array([0.0, 1.0, 0.0]), p.shape)
-        lit = light_term(p, nrm, mp)
-        rgb = np.where(mp[:, None], base * lit[:, None], rgb)
+        nrm = np.broadcast_to(np.array([0.0, 1.0, 0.0]), pp.shape)
+        rgb[idx] = base * light_term(pp, nrm)[:, None]
 
     # sphere shading
     for i, s in enumerate(spheres):
-        ms = best_id == i
-        if not ms.any():
+        idx = np.nonzero(best_id == i)[0]
+        if not idx.size:
             continue
-        nrm = (p - s["c"]) / s["r"]
+        pp = p[idx]
+        nrm = (pp - s["c"]) / s["r"]
         theta = np.arccos(np.clip(nrm[:, 1], -1, 1))
         phi = np.arctan2(nrm[:, 2], nrm[:, 0])
         f = s["freq"]
@@ -236,10 +238,147 @@ def _shade_analytic(orig, d, spheres, plane):
         else:
             m = 0.5 + 0.5 * np.sin(theta * 3.0)
         base = s["base"] * (1 - m[:, None]) + s["alt"] * m[:, None]
-        lit = light_term(p, nrm, ms)
-        rgb = np.where(ms[:, None], base * lit[:, None], rgb)
+        rgb[idx] = base * light_term(pp, nrm)[:, None]
 
     return np.clip(rgb, 0.0, 1.0), alpha
+
+
+_FAST_SHADER_CACHE: dict = {}
+
+
+def _shade_analytic_fast(orig, d, spheres, plane):
+    """jax.jit (CPU) implementation of ``_shade_analytic`` — same math, one
+    fused pass in f32 (the pure-numpy version runs ~50 s/frame on the 1-vCPU
+    host).  GT stays independent of the code under test: nothing here
+    touches the Gaussian renderer.  Parity with the numpy reference is
+    asserted in tests/test_components.py.  The jitted closure is cached per
+    scene so repeated frames don't re-trace."""
+    import jax
+    import jax.numpy as jnp
+
+    cpu = jax.devices("cpu")[0]
+    scene_key = (
+        tuple(
+            (tuple(s["c"]), s["r"], tuple(s["base"]), tuple(s["alt"]),
+             s["tex"], s["freq"])
+            for s in spheres
+        ),
+        (plane["y"], plane["rad"], tuple(plane["c1"]), tuple(plane["c2"]),
+         plane["scale"]),
+    )
+    if scene_key in _FAST_SHADER_CACHE:
+        shade = _FAST_SHADER_CACHE[scene_key]
+        with jax.default_device(cpu):
+            rgb, alpha = shade(
+                jnp.asarray(orig, jnp.float32), jnp.asarray(d, jnp.float32)
+            )
+            return np.asarray(rgb, np.float64), np.asarray(alpha, np.float64)
+    sph_c = np.stack([s["c"] for s in spheres]).astype(np.float32)
+    sph_r = np.array([s["r"] for s in spheres], np.float32)
+    sph_base = np.stack([s["base"] for s in spheres]).astype(np.float32)
+    sph_alt = np.stack([s["alt"] for s in spheres]).astype(np.float32)
+    sph_tex = np.array([s["tex"] for s in spheres], np.int32)
+    sph_freq = np.array([s["freq"] for s in spheres], np.float32)
+    nsph = len(spheres)
+
+    lights = [
+        (np.array([0.45, 0.8, 0.35]) / np.linalg.norm([0.45, 0.8, 0.35]), 0.75),
+        (np.array([-0.6, 0.55, -0.5]) / np.linalg.norm([-0.6, 0.55, -0.5]), 0.45),
+    ]
+    ambient = 0.25
+
+    def hit(orig, d, c, r):
+        oc = orig - c
+        b = jnp.einsum("ij,ij->i", d, oc)
+        cc = jnp.einsum("ij,ij->i", oc, oc) - r * r
+        disc = b * b - cc
+        ok = disc > 0.0
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t = -b - sq
+        t = jnp.where(t > 1e-4, t, -b + sq)
+        return jnp.where(ok & (t > 1e-4), t, jnp.inf)
+
+    @jax.jit
+    def shade(orig, d):
+        N = d.shape[0]
+        best_t = jnp.full((N,), jnp.inf, jnp.float32)
+        best_id = jnp.full((N,), -1, jnp.int32)
+        for i in range(nsph):
+            t = hit(orig, d, sph_c[i], sph_r[i])
+            w = t < best_t
+            best_t = jnp.where(w, t, best_t)
+            best_id = jnp.where(w, i, best_id)
+        denom = d[:, 1]
+        tp = jnp.where(
+            jnp.abs(denom) > 1e-8, (plane["y"] - orig[:, 1]) / denom, jnp.inf
+        )
+        pxz = orig[:, [0, 2]] + tp[:, None] * d[:, [0, 2]]
+        on_disk = (tp > 1e-4) & (
+            jnp.einsum("ij,ij->i", pxz, pxz) < plane["rad"] ** 2
+        )
+        w = on_disk & (tp < best_t)
+        best_t = jnp.where(w, tp, best_t)
+        best_id = jnp.where(w, -2, best_id)
+
+        alpha = (best_id != -1).astype(jnp.float32)
+        p = orig + jnp.where(jnp.isfinite(best_t), best_t, 0.0)[:, None] * d
+
+        # winning-sphere parameters via gather; transcendentals run ONCE
+        sid = jnp.clip(best_id, 0, nsph - 1)
+        c_win = jnp.asarray(sph_c)[sid]
+        r_win = jnp.asarray(sph_r)[sid]
+        nrm_s = (p - c_win) / r_win[:, None]
+        is_plane = best_id == -2
+        nrm = jnp.where(
+            is_plane[:, None], jnp.array([0.0, 1.0, 0.0], jnp.float32), nrm_s
+        )
+        theta = jnp.arccos(jnp.clip(nrm_s[:, 1], -1, 1))
+        phi = jnp.arctan2(nrm_s[:, 2], nrm_s[:, 0])
+        f = jnp.asarray(sph_freq)[sid]
+        chk = (
+            jnp.floor(phi / (2 * math.pi) * f + f) + jnp.floor(theta / math.pi * f)
+        ) % 2.0
+        m_all = jnp.stack(
+            [
+                chk,
+                (jnp.sin(theta * f * 2.0) > 0).astype(jnp.float32),
+                ((jnp.sin(phi * f) * jnp.sin(theta * f)) > 0.3).astype(
+                    jnp.float32
+                ),
+                0.5 + 0.5 * jnp.sin(theta * 3.0),
+            ],
+            axis=1,
+        )
+        m = jnp.take_along_axis(m_all, jnp.asarray(sph_tex)[sid][:, None], axis=1)[:, 0]
+        base_s = jnp.asarray(sph_base)[sid] * (1 - m[:, None]) + jnp.asarray(sph_alt)[sid] * m[:, None]
+        ck = (jnp.floor(p[:, 0] * plane["scale"]) + jnp.floor(p[:, 2] * plane["scale"])) % 2.0
+        base_p = jnp.where(
+            ck[:, None] > 0.5,
+            plane["c1"].astype(np.float32),
+            plane["c2"].astype(np.float32),
+        )
+        base = jnp.where(is_plane[:, None], base_p, base_s)
+
+        # shadowed two-light lambertian, computed once over all hit points
+        lit = jnp.full((N,), ambient, jnp.float32)
+        po = p + 1e-3 * nrm
+        for ldir, lpow in lights:
+            ld = jnp.broadcast_to(ldir.astype(np.float32), p.shape)
+            lam = jnp.maximum(nrm @ ldir.astype(np.float32), 0.0)
+            shadow = jnp.zeros((N,), bool)
+            for i in range(nsph):
+                shadow |= jnp.isfinite(hit(po, ld, sph_c[i], sph_r[i]))
+            lit = lit + lpow * lam * (~shadow)
+        rgb = jnp.clip(base * lit[:, None], 0.0, 1.0)
+        rgb = jnp.where((best_id == -1)[:, None], 0.0, rgb)
+        return rgb, alpha
+
+    _FAST_SHADER_CACHE[scene_key] = shade
+    with jax.default_device(cpu):
+        rgb, alpha = shade(
+            jnp.asarray(orig, jnp.float32), jnp.asarray(d, jnp.float32)
+        )
+        return np.asarray(rgb, np.float64), np.asarray(alpha, np.float64)
 
 
 def generate_analytic_dataset(
@@ -277,7 +416,7 @@ def generate_analytic_dataset(
         d = d_cam @ R.T  # R is cam-to-world; camera axes are its columns
         d = d / np.linalg.norm(d, axis=1, keepdims=True)
         orig = np.broadcast_to(eye, d.shape)
-        rgb, alpha = _shade_analytic(orig, d, spheres, plane)
+        rgb, alpha = _shade_analytic_fast(orig, d, spheres, plane)
         img = np.concatenate([rgb, alpha[:, None]], axis=1).reshape(H, W, 4)
         # box-filter downsample (supersampled anti-aliased GT)
         s = supersample
