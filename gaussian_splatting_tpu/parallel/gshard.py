@@ -15,13 +15,14 @@ ever needed (redistribute-then-sort, SURVEY.md §7).
 
 ``gshard_train_step`` is the full sharded analogue of train.step.train_step:
 per-shard preprocessing and densification stats, exchange + stripe blending,
-a replicated loss on the all-gathered image (exact parity with the
-single-device step, SSIM windows included), and a SHARDED Adam update — the
-optimizer state never leaves the Gaussian's owner device.
+a STRIPE-LOCAL loss (L1/SSIM partial sums psum'd across the mesh; SSIM's
+11x11 window sees cross-stripe content through a 5-row ppermute halo of the
+predicted image — exact parity with the single-device step), and a SHARDED
+Adam update — the optimizer state never leaves the Gaussian's owner device.
 
 The backward needs no hand-written communication: autodiff through
-``all_to_all`` emits the reverse exchange, and through ``all_gather`` a
-reduce-scatter (XLA inserts the collectives).
+``all_to_all`` emits the reverse exchange and through ``ppermute`` the
+reverse halo (XLA inserts the collectives).
 """
 
 from __future__ import annotations
@@ -40,11 +41,7 @@ from gaussian_splatting_tpu.models.densify import add_densification_stats
 from gaussian_splatting_tpu.ops import blend_pallas as bp
 from gaussian_splatting_tpu.ops.camera_math import CameraParams
 from gaussian_splatting_tpu.ops.expand import BIG
-from gaussian_splatting_tpu.ops.losses import (
-    depth_l1_loss,
-    l1_loss,
-    photometric_loss,
-)
+from gaussian_splatting_tpu.ops.losses import fused_ssim_weighted_sum
 from gaussian_splatting_tpu.ops.preprocess import ProjectedGaussians, preprocess
 from gaussian_splatting_tpu.ops.rasterize import _make_render_core, _untile
 from gaussian_splatting_tpu.train.optim import (
@@ -293,8 +290,8 @@ def gshard_train_step(
 
     TrainState per-Gaussian arrays must be sharded over ``mesh`` axis
     'data' on their capacity axis (capacity divisible by the mesh size);
-    exposures/step stay replicated.  The loss is computed on the
-    all-gathered image so it (and SSIM's cross-stripe windows) matches the
+    exposures/step stay replicated.  The loss is stripe-local (psum'd
+    partial sums + a 5-row SSIM halo exchange) and matches the
     single-device step exactly; Adam runs shard-local.
     """
     model = state.model
@@ -342,16 +339,65 @@ def gshard_train_step(
                 tile_w=tile_w, tile_h=tile_h, capacity_dev=capacity_dev,
                 cfg=raster, bg_color=batch.bg_color, interpret=interpret,
             )
-            # assemble the full image (grad of all_gather = reduce-scatter)
-            full = jax.lax.all_gather(color, "data", axis=1, tiled=True)
-            full_invd = jax.lax.all_gather(invd, "data", axis=0, tiled=True)
-            image = jnp.clip(full[:, :H, :W], 0.0, 1.0)
-            invdepth = full_invd[:H, :W]
+            # ---- STRIPE-LOCAL loss (round 3): instead of all-gathering the
+            # image and computing a replicated loss n times, each device
+            # computes L1/SSIM partial sums over its own Sh pixel rows and
+            # the scalars are psum'd.  SSIM's 11x11 window needs only a
+            # 5-row halo of the *predicted* image from each stripe neighbor
+            # (ppermute); gt/masks are replicated so their halos are static
+            # slices.  Per-device loss FLOPs drop from full-image to ~1/n,
+            # and parity with the single-device step is exact: pixel rows
+            # past H and the mesh-edge halos are zero, which is precisely
+            # the blur's zero-padding (ops/losses.py SAME-conv semantics).
+            Sh = grid_y_local * tile_h
+            Hpad = n * Sh
+            y0 = d * Sh
+            img_s = jnp.clip(color[:, :, :W], 0.0, 1.0)
             if use_exposure:
-                image = apply_exposure(image, exposures[batch.exposure_idx])
-            image = image * batch.alpha_mask
-            gt = batch.gt_image * batch.alpha_mask
-            loss = photometric_loss(image, gt, opt.lambda_dssim)
+                img_s = apply_exposure(img_s, exposures[batch.exposure_idx])
+            # alpha mask rows for this stripe; rows >= H become zero via the
+            # bottom padding so they contribute |0-0| = 0 to L1 below
+            mask_pad = jnp.pad(
+                jnp.broadcast_to(batch.alpha_mask, (1, H, W)).astype(
+                    jnp.float32
+                ),
+                ((0, 0), (0, Hpad - H), (0, 0)),
+            )
+            mask_s = jax.lax.dynamic_slice(mask_pad, (0, y0, 0), (1, Sh, W))
+            img_s = img_s * mask_s
+            gt_full = batch.gt_image * batch.alpha_mask
+            gt_pad = jnp.pad(gt_full, ((0, 0), (5, Hpad - H + 5), (0, 0)))
+            gt_ext = jax.lax.dynamic_slice(
+                gt_pad, (0, y0, 0), (3, Sh + 10, W)
+            )
+            gt_s = gt_ext[:, 5:-5]
+            # predicted-image halo: bottom 5 rows ride down the mesh, top 5
+            # rows ride up; edge devices receive ppermute's zero fill (the
+            # image boundary's conv zero-padding)
+            from_up = jax.lax.ppermute(
+                img_s[:, -5:], "data", [(i, i + 1) for i in range(n - 1)]
+            )
+            from_down = jax.lax.ppermute(
+                img_s[:, :5], "data", [(i + 1, i) for i in range(n - 1)]
+            )
+            pred_ext = jnp.concatenate([from_up, img_s, from_down], axis=1)
+            # weight selects THIS stripe's real image rows and carries the
+            # full-image mean denominator (3 channels summed per pixel)
+            rows_valid = (y0 + jnp.arange(Sh)) < H
+            weight = jnp.pad(
+                rows_valid.astype(jnp.float32), (5, 5)
+            )[:, None] * jnp.ones((1, W), jnp.float32) / (3.0 * H * W)
+            ssim_val = jax.lax.psum(
+                fused_ssim_weighted_sum(pred_ext, gt_ext, weight), "data"
+            )
+            l1v = (
+                jax.lax.psum(jnp.sum(jnp.abs(img_s - gt_s)), "data")
+                / (3.0 * H * W)
+            )
+            loss = (
+                (1.0 - opt.lambda_dssim) * l1v
+                + opt.lambda_dssim * (1.0 - ssim_val)
+            )
             depth_loss = jnp.float32(0.0)
             if use_depth:
                 w_ = expon_lr(
@@ -360,15 +406,34 @@ def gshard_train_step(
                     lr_final=opt.depth_l1_weight_final,
                     max_steps=opt.iterations,
                 )
-                depth_loss = w_ * depth_l1_loss(
-                    invdepth, batch.invdepth_gt, batch.depth_mask
+                dmask_pad = jnp.pad(
+                    jnp.broadcast_to(
+                        batch.depth_mask, (H, W)
+                    ).astype(jnp.float32),
+                    ((0, Hpad - H), (0, 0)),
+                )
+                dgt_pad = jnp.pad(
+                    jnp.broadcast_to(batch.invdepth_gt, (H, W)),
+                    ((0, Hpad - H), (0, 0)),
+                )
+                dmask_s = jax.lax.dynamic_slice(dmask_pad, (y0, 0), (Sh, W))
+                dgt_s = jax.lax.dynamic_slice(dgt_pad, (y0, 0), (Sh, W))
+                depth_loss = w_ * (
+                    jax.lax.psum(
+                        jnp.sum(
+                            jnp.abs(invd[:, :W] - dgt_s) * dmask_s
+                            * rows_valid[:, None]
+                        ),
+                        "data",
+                    )
+                    / (H * W)
                 )
                 loss = loss + depth_loss
             aux_out = {
                 "radii": proj.radii,
                 "overflow": ovf | xovf,
                 "num_instances": jax.lax.psum(ninst, "data"),
-                "l1": l1_loss(image, gt),
+                "l1": l1v,
                 "depth_loss": depth_loss,
             }
             return loss, aux_out
@@ -379,14 +444,17 @@ def gshard_train_step(
             loss_fn, argnums=(0, 1, 2), has_aux=True
         )(params, exposures, tap)
         g_params, g_exp, g_tap = grads
-        # The loss is computed REPLICATED on every device from the
-        # all-gathered image, so each stripe color collects one cotangent
-        # per replica: gradients that flow through the gather (params, tap)
-        # come out n-times the true gradient.  Exposure grads do not cross a
-        # collective (applied post-gather per replica) and are already true.
+        # Under shard_map(check_vma=False) the transpose of psum is psum
+        # (verified empirically: grad of psum(sum(x^2)) returns 2*n*x), so
+        # every gradient path through the stripe-local loss's psum carries a
+        # uniform extra factor of the mesh size.  Divide it back out.
+        # Exposure is applied to the LOCAL stripe only, so its (already
+        # n-scaled) gradient is a stripe partial that must additionally be
+        # psum'd across devices to form the full-image exposure gradient.
         n_rep = jax.lax.psum(1, "data")
         g_params = jax.tree_util.tree_map(lambda g: g / n_rep, g_params)
         g_tap = g_tap / n_rep
+        g_exp = jax.lax.psum(g_exp, "data") / n_rep
         overflow = jax.lax.pmax(
             aux_out["overflow"].astype(jnp.int32), "data"
         )

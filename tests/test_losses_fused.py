@@ -94,3 +94,47 @@ def test_fused_ssim_weighted_sum_matches_autodiff():
     np.testing.assert_allclose(
         np.asarray(g), np.asarray(g_ref), atol=2e-5, rtol=1e-4
     )
+
+
+def test_fused_ssim_stripe_decomposition_matches_full_image():
+    """The gshard stripe-local SSIM (parallel/gshard.py): summing per-stripe
+    weighted sums over 5-row-haloed strips must reproduce the full-image
+    fused_ssim mean exactly, values AND gradients, including a ragged last
+    stripe (rows past H zero-padded) and zero-filled mesh-edge halos."""
+    import jax
+
+    from gaussian_splatting_tpu.ops.losses import (
+        fused_ssim,
+        fused_ssim_weighted_sum,
+    )
+
+    rng = np.random.default_rng(7)
+    H, W, n = 30, 16, 4  # Sh = 8 rows/stripe, last stripe has 2 padded rows
+    Sh = -(-H // n)
+    Hpad = n * Sh
+    img1 = jnp.asarray(rng.random((3, H, W)), jnp.float32)
+    img2 = jnp.asarray(rng.random((3, H, W)), jnp.float32)
+
+    def stripes(i1):
+        i1p = jnp.pad(i1, ((0, 0), (5, Hpad - H + 5), (0, 0)))
+        i2p = jnp.pad(img2, ((0, 0), (5, Hpad - H + 5), (0, 0)))
+        total = 0.0
+        for d in range(n):
+            y0 = d * Sh
+            ext1 = jax.lax.dynamic_slice(i1p, (0, y0, 0), (3, Sh + 10, W))
+            ext2 = jax.lax.dynamic_slice(i2p, (0, y0, 0), (3, Sh + 10, W))
+            rows_valid = ((y0 + jnp.arange(Sh)) < H).astype(jnp.float32)
+            weight = (
+                jnp.pad(rows_valid, (5, 5))[:, None]
+                * jnp.ones((1, W), jnp.float32)
+                / (3.0 * H * W)
+            )
+            total = total + fused_ssim_weighted_sum(ext1, ext2, weight)
+        return total
+
+    v_full, g_full = jax.value_and_grad(lambda i: fused_ssim(i, img2))(img1)
+    v_str, g_str = jax.value_and_grad(stripes)(img1)
+    np.testing.assert_allclose(float(v_str), float(v_full), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g_str), np.asarray(g_full), atol=2e-6, rtol=1e-4
+    )

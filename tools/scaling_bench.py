@@ -24,6 +24,9 @@ def main():
     parser.add_argument("--width", type=int, default=256)
     parser.add_argument("--gaussians", type=int, default=20_000)
     parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--mode", choices=["dp", "gshard"], default="dp",
+                        help="dp: camera data-parallel; gshard: "
+                        "Gaussian-sharded step with instance all-to-all")
     parser.add_argument("--cpu", action="store_true",
                         help="force the virtual CPU mesh")
     args = parser.parse_args()
@@ -42,10 +45,14 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+
     from gaussian_splatting_tpu.config import OptimizationConfig, RasterizeConfig
     from gaussian_splatting_tpu.models.gaussians import create_from_pcd
     from gaussian_splatting_tpu.ops.camera_math import CameraParams
+    from gaussian_splatting_tpu.parallel import gshard
     from gaussian_splatting_tpu.parallel.dp import dp_train_step
+    from gaussian_splatting_tpu.parallel.gshard import gshard_train_step
     from gaussian_splatting_tpu.parallel.mesh import make_mesh
     from gaussian_splatting_tpu.train.step import StepBatch, init_train_state
     from gaussian_splatting_tpu.utils.testing import random_scene
@@ -89,9 +96,30 @@ def main():
         )
         stacked_batch = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
 
-        def step(s):
-            return dp_train_step(s, stacked_cams, stacked_batch, mesh,
-                                 opt=opt, raster=raster)
+        if args.mode == "dp":
+            def step(s):
+                return dp_train_step(s, stacked_cams, stacked_batch, mesh,
+                                     opt=opt, raster=raster)
+        else:
+            # Gaussian-sharded: ONE camera, the Gaussian axis split over the
+            # mesh (strong scaling of a fixed frame + fixed point set).
+            cap = state.model.capacity
+            if cap % n_dev:
+                raise SystemExit("capacity must divide the mesh size")
+
+            def put(x):
+                spec = (
+                    PS("data")
+                    if getattr(x, "ndim", 0) >= 1 and x.shape[0] == cap
+                    else PS()
+                )
+                return jax.device_put(x, NamedSharding(mesh, spec))
+
+            state = jax.tree_util.tree_map(put, state)
+
+            def step(s):
+                return gshard_train_step(s, cams[0], batches[0], mesh,
+                                         opt=opt, raster=raster)
 
         s2, m = step(state)
         jax.block_until_ready(s2.model.params.means3d)
@@ -101,12 +129,28 @@ def main():
             s, m = step(s)
         jax.block_until_ready(s.model.params.means3d)
         dt = (time.perf_counter() - t0) / args.iters
-        cam_per_s = n_dev / dt
-        results[n_dev] = cam_per_s
-        base = results[min(results)]
-        eff = cam_per_s / (base * n_dev / min(results)) * 100
-        print(f"devices={n_dev}: {dt*1e3:8.1f} ms/step  "
-              f"{cam_per_s:8.2f} cams/s  efficiency {eff:5.1f}%")
+
+        if args.mode == "dp":
+            cam_per_s = n_dev / dt
+            results[n_dev] = cam_per_s
+            base = results[min(results)]
+            eff = cam_per_s / (base * n_dev / min(results)) * 100
+            print(f"devices={n_dev}: {dt*1e3:8.1f} ms/step  "
+                  f"{cam_per_s:8.2f} cams/s  efficiency {eff:5.1f}%")
+        else:
+            px_per_s = w * h / dt
+            results[n_dev] = px_per_s
+            base_n = min(results)
+            speedup = px_per_s / results[base_n]
+            eff = speedup / (n_dev / base_n) * 100
+            # per-device instance-exchange traffic: the (n, cap_x, 16) f32
+            # all_to_all in the forward and its transpose in the backward
+            cap_x, _cap_dev = gshard._capacities(cap, n_dev, raster, 0, 0)
+            xbytes = 2 * n_dev * cap_x * gshard.REC_COLS * 4
+            print(f"devices={n_dev}: {dt*1e3:8.1f} ms/step  "
+                  f"{px_per_s/1e6:7.2f} Mpx/s  speedup {speedup:4.2f}x  "
+                  f"efficiency {eff:5.1f}%  "
+                  f"exchange {xbytes/1e6:.1f} MB/dev/step (cap_x={cap_x})")
 
 
 if __name__ == "__main__":
