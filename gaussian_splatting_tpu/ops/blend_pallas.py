@@ -120,13 +120,6 @@ def _dot3(a: jnp.ndarray, b: jnp.ndarray, dims) -> jnp.ndarray:
     return d(a_hi, b_hi) + d(a_hi, b_err) + d(a_err, b_hi)
 
 
-def _last_lane(x: jnp.ndarray) -> jnp.ndarray:
-    """x[..., -1:] via a masked reduction (canonical Mosaic layout)."""
-    n = x.shape[-1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-    return jnp.sum(jnp.where(lane == n - 1, x, 0.0), axis=-1, keepdims=True)
-
-
 def _tile_pixel_coords(tile_id, grid_x: int, tile_w: int, tile_h: int):
     """Float pixel coordinates of this tile's pixels, shape (PIX, 1)."""
     pix = tile_w * tile_h
@@ -284,25 +277,31 @@ def _forward_one_tile(
         contrib = eligible & before_bad & (~done)
         w = jnp.where(contrib, alpha * T_before, 0.0)
 
-        # one MXU contraction computes all four weighted accumulations:
-        # (pix, chunk) x (4, chunk) contracted over the instance lanes
-        acc = _dot3(
-            w, meta[F_R : F_INVD + 1, :], (((1,), (1,)), ((), ()))
-        )  # (pix, 4)
+        # ONE MXU contraction computes the four weighted accumulations AND
+        # the two per-pixel lane sums that used to be cross-lane VPU
+        # reductions (~7 shuffle passes each): stack [w; contributing log
+        # factors; bad flags] along the pixel axis against [fields; ones].
+        #   - sum of contributing log(1-a) == log of the T update factor
+        #     (for a pixel stopped at first-bad k*, contrib covers exactly
+        #     the lanes before k*, i.e. the old E_at_bad; with no bad lane
+        #     it is the full inclusive product — identical values),
+        #   - bad-count > 0 == any_bad (0/1 inputs are bf16-exact).
+        lwc = jnp.where(contrib, lw, 0.0)
+        lhs = jnp.concatenate([w, lwc, bad.astype(jnp.float32)], axis=0)
+        rhs = jnp.concatenate(
+            [meta[F_R : F_INVD + 1, :], jnp.ones((1, chunk), jnp.float32)],
+            axis=0,
+        )  # (5, chunk)
+        acc3 = _dot3(lhs, rhs, (((1,), (1,)), ((), ())))  # (3*pix, 5)
+        acc = acc3[:pix]
         dCr = acc[:, 0:1]
         dCg = acc[:, 1:2]
         dCb = acc[:, 2:3]
         dinvd = acc[:, 3:4]
+        sum_lwc = acc3[pix : 2 * pix, 4:5]
+        n_bad = acc3[2 * pix :, 4:5]
 
-        # new transmittance: product of contributing (1-a) factors only.
-        # With k* the first bad lane, that product is E[k*]; with no bad lane
-        # it is the full inclusive product exp(cum_log[last]) (done pixels
-        # keep T).
-        any_bad = jnp.any(bad, axis=1, keepdims=True)
-        first_bad = bad & (cs_bad == 1.0)
-        E_at_bad = jnp.sum(jnp.where(first_bad, E, 0.0), axis=1, keepdims=True)
-        prod_om = jnp.where(any_bad, E_at_bad, jnp.exp(_last_lane(cum_log)))
-        T_new = jnp.where(done, T, T * prod_om)
+        T_new = jnp.where(done, T, T * jnp.exp(sum_lwc))
 
         # last contributor position (1-based within the tile range)
         lane = jax.lax.broadcasted_iota(jnp.int32, (pix, chunk), 1)
@@ -311,7 +310,7 @@ def _forward_one_tile(
             _col(st, O_NCONTRIB),
             jnp.max(jnp.where(contrib, pos, 0.0), axis=1, keepdims=True),
         )
-        done_new = jnp.where(done | any_bad, 1.0, 0.0)
+        done_new = jnp.where(done | (n_bad > 0.0), 1.0, 0.0)
 
         new_st = jnp.concatenate(
             [
@@ -515,8 +514,17 @@ def _bwd_chunk_math(
         ],
         axis=0,
     )
-    T_new = T * jnp.exp(_last_lane(cum_log))
-    Bq_new = _last_lane(cq_in)
+    # Per-pixel lane sums via one MXU contraction instead of two cross-lane
+    # VPU reductions: sum(lw) is the log of this chunk's T factor (lw == 0
+    # exactly on non-contributing lanes) and Bq + sum(w*q) equals the last
+    # lane of cq_in (tri's last column is all ones).
+    sums = _dot3(
+        jnp.concatenate([lw, w * q], axis=0),
+        jnp.ones((1, chunk), jnp.float32),
+        (((1,), (1,)), ((), ())),
+    )  # (2*pix, 1)
+    T_new = T * jnp.exp(sums[:pix])
+    Bq_new = Bq + sums[pix:]
     return gblock, T_new, Bq_new
 
 
