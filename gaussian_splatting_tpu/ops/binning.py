@@ -127,22 +127,28 @@ def bin_gaussians(
     in_range = slots < jnp.minimum(total, capacity)
     local = slots - rows[:, 0].astype(jnp.int32)
     safe_w = rows[:, 3].astype(jnp.int32)
-    ty = rows[:, 2].astype(jnp.int32) + local // safe_w
-    tx = rows[:, 1].astype(jnp.int32) + local % safe_w
 
-    # Exact circle-vs-tile cull: a tile whose closest pixel center is farther
-    # than cut_radius from the Gaussian center can never see alpha >= 1/255
-    # (see preprocess), so its instance is dropped before the sort — corner
-    # tiles of the bounding rect (~21% of large footprints) go away with the
-    # rendered image unchanged.
-    cx = rows[:, 5]
-    cy = rows[:, 6]
-    qx = jnp.clip(cx, (tx * tile_w).astype(jnp.float32), (tx * tile_w + tile_w - 1).astype(jnp.float32))
-    qy = jnp.clip(cy, (ty * tile_h).astype(jnp.float32), (ty * tile_h + tile_h - 1).astype(jnp.float32))
-    d2 = (qx - cx) ** 2 + (qy - cy) ** 2
-    hit = d2 <= rows[:, 7] ** 2
+    # Exact-cull slot -> (row, tile) mapping via the per-row circle spans
+    # (preprocess.compute_tile_spans): tiles_touched counts ONLY tiles whose
+    # closest pixel center lies within cut_radius, so corner cells of the
+    # bounding rect never get slots at all.  Tall rects (span_flag False)
+    # use the plain rect walk uncull'd.  Identical math to the expand
+    # kernel (ops/expand.py) — this is the record-parity reference.
+    cum = proj.span_cum[g].astype(jnp.int32)  # (capacity, 16)
+    x0 = proj.span_x0[g].astype(jnp.int32)
+    r = jnp.sum(cum <= local[:, None], axis=1)
+    jj = jnp.arange(cum.shape[1], dtype=jnp.int32)[None, :]
+    base = jnp.sum(jnp.where(jj == (r - 1)[:, None], cum, 0), axis=1)
+    x0_sel = jnp.sum(jnp.where(jj == r[:, None], x0, 0), axis=1)
+    is_span = proj.span_flag[g]
+    ty = rows[:, 2].astype(jnp.int32) + jnp.where(is_span, r, local // safe_w)
+    tx = jnp.where(
+        is_span,
+        x0_sel + (local - base),
+        rows[:, 1].astype(jnp.int32) + local % safe_w,
+    )
 
-    tile = jnp.where(in_range & hit, ty * grid_x + tx, num_tiles)
+    tile = jnp.where(in_range, ty * grid_x + tx, num_tiles)
     depth = jnp.where(in_range, rows[:, 4], jnp.inf)
 
     # Two-key lexicographic sort replaces the packed 64-bit radix sort.

@@ -23,10 +23,15 @@ Gaussians emit one *sentinel* instance with tile=num_tiles that sorts to the
 dropped tail), so 128 consecutive slots can span at most 128 table rows and
 the 256-row window (aligned down to a 128 boundary) always covers the chunk.
 
-The kernel also computes each instance's tile id (rect walk + exact
-circle-vs-tile cull, see ops/binning.py round-1 docstring) and depth key, so
-its outputs feed ``jax.lax.sort`` directly — the sort carries the 10 blend
-fields as payload operands, replacing the post-sort random row-gather.
+The kernel also computes each instance's tile id and depth key, so its
+outputs feed ``jax.lax.sort`` directly — the sort carries the blend fields
+as payload operands, replacing the post-sort random row-gather.  Slot
+demand is EXACT (round 3): preprocess counts only tiles whose nearest pixel
+center lies within the opacity-aware cut radius (contiguous per-row spans,
+preprocess.compute_tile_spans), so culled corner cells of the bounding rect
+never consume slots in any downstream stage — the kernel maps
+slot -> (row, tile) with cumulative-span compares instead of a per-cell
+circle test.
 """
 
 from __future__ import annotations
@@ -38,8 +43,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Table column layout (P_pad, 16) — field-major transposed to (16, P_pad)
-# before the kernel (Mosaic cannot DMA row slices of 16-minor arrays).
+# Table column layout (TBL_ROWS, P_pad), field-major (Mosaic cannot DMA row
+# slices of 16-minor arrays).
 T_OFFSET = 0  # first instance slot (f32-exact integer)
 T_RECT_X = 1  # rect_min_x (tile units)
 T_RECT_Y = 2  # rect_min_y
@@ -47,7 +52,7 @@ T_RECT_W = 3  # rect width in tiles, >= 1
 T_DEPTH = 4  # view depth; +inf marks invalid (sentinel-only) Gaussians
 T_MX = 5  # means2d x (pixels)
 T_MY = 6  # means2d y
-T_CUTR = 7  # opacity-aware cut radius (pixels)
+T_SPAN = 7  # 1.0 = per-row span mapping applies (preprocess.MAX_SPAN_ROWS)
 T_CA = 8  # conic a
 T_CB = 9  # conic b
 T_CC = 10  # conic c
@@ -56,11 +61,22 @@ T_R = 12
 T_G = 13
 T_B = 14
 # Inverse depth is recomputed from the sorted depth key (see instances.py)
-# so it needs no expanded row; row 15 is zero padding.  The table stays 16
-# rows: Mosaic requires the second-minor dim of any sliced HBM memref to be
-# a multiple of the 8-sublane tile (a (15, N) table window DMA is rejected
-# with "Slice shape along dimension 0 must be aligned to tiling (8)").
+# so it needs no expanded row; row 15 is zero padding.  The meta output
+# stays 16 rows: Mosaic requires the second-minor dim of any sliced HBM
+# memref to be a multiple of the 8-sublane tile (a (15, N) table window DMA
+# is rejected with "Slice shape along dimension 0 must be aligned to
+# tiling (8)").
 NUM_TCOLS = 16
+# Exact-cull span tables (preprocess.compute_tile_spans): instance slots are
+# allocated only for tiles whose nearest pixel center is within the cut
+# radius, so the slot -> (row, tile) mapping needs each row's first tile x
+# and the cumulative count through each row.  No per-cell test runs in the
+# kernel — the spans are computed ONCE in preprocess, so XLA/Mosaic sqrt
+# rounding can never disagree about a slot's destination.
+T_X0 = 16  # rows 16..31: span_x0[r], r = 0..15
+T_CUM = 32  # rows 32..47: span_cum[r] (count through rect row r)
+N_SPAN = 16
+TBL_ROWS = 48
 
 # Output meta row order == blend_pallas field order (F_X..F_B).  F_INVD is
 # NOT expanded or sorted: inverse depth is recomputed from the sorted depth
@@ -97,12 +113,12 @@ def _dot_exact_rhs01(x, onehot):
 
 def _expand_kernel(
     base_ref,  # (nchunks,) int32 scalar prefetch: 128-aligned window base
-    table_hbm,  # (NUM_TCOLS, P_pad) HBM, field-major
+    table_hbm,  # (TBL_ROWS, P_pad) HBM, field-major
     tile_ref,  # out (1, T_PER*CHUNK) int32
     depth_ref,  # out (1, T_PER*CHUNK) f32
     g_ref,  # out (1, T_PER*CHUNK) int32
     meta_ref,  # out (NUM_TCOLS, T_PER*CHUNK) f32
-    win_vmem,  # (2, t_per, NUM_TCOLS, WINDOW) VMEM scratch
+    win_vmem,  # (2, t_per, TBL_ROWS, WINDOW) VMEM scratch
     sems,  # (2, t_per) DMA semaphores
     *,
     nchunks: int,
@@ -149,7 +165,7 @@ def _expand_kernel(
         @pl.when(c < nchunks)
         def _():
             win_dma(buf, t, c).wait()
-            win = win_vmem[buf, t]  # (NUM_TCOLS, WINDOW)
+            win = win_vmem[buf, t]  # (TBL_ROWS, WINDOW)
 
             base = base_ref[c]
             slot0 = c * CHUNK
@@ -167,7 +183,7 @@ def _expand_kernel(
             )
             onehotT = geT - ge_below  # exactly one 1.0 per column
 
-            rows = _dot_exact_rhs01(win, onehotT)  # (NUM_TCOLS, CHUNK)
+            rows = _dot_exact_rhs01(win, onehotT)  # (TBL_ROWS, CHUNK)
 
             # g index: count of offsets <= slot, single exact pass (0/1)
             counts = jnp.dot(
@@ -177,27 +193,34 @@ def _expand_kernel(
             g = base + counts.astype(jnp.int32) - 1
 
             local = slot - rows[T_OFFSET : T_OFFSET + 1, :]  # (1, CHUNK)
+            # --- rect mapping (tall rects + sentinels/terminator) ---
             w = rows[T_RECT_W : T_RECT_W + 1, :]
             # local // w and local % w in f32: (local + 0.5) / w never lands
             # on an integer for local < 2^22, w < 2^10, so floor is safe.
-            ty_off = jnp.floor((local + 0.5) / w)
-            tx_off = local - ty_off * w
+            ty_off_rect = jnp.floor((local + 0.5) / w)
+            tx_rect = rows[T_RECT_X : T_RECT_X + 1, :] + (
+                local - ty_off_rect * w
+            )
+            # --- span mapping: r = #(cum_j <= local) skips culled cells
+            # and empty rows by construction; tx = x0_r + (local - cum_{r-1})
+            cum = rows[T_CUM : T_CUM + N_SPAN, :]  # (16, CHUNK)
+            x0 = rows[T_X0 : T_X0 + N_SPAN, :]
+            le = (cum <= local).astype(jnp.float32)
+            r = jnp.sum(le, axis=0, keepdims=True)  # (1, CHUNK) in [0, 16]
+            j = jax.lax.broadcasted_iota(
+                jnp.float32, (N_SPAN, CHUNK), 0
+            )
+            base = jnp.sum(jnp.where(j == r - 1.0, cum, 0.0), axis=0,
+                           keepdims=True)
+            x0_sel = jnp.sum(jnp.where(j == r, x0, 0.0), axis=0,
+                             keepdims=True)
+            is_span = rows[T_SPAN : T_SPAN + 1, :] > 0.5
+            ty_off = jnp.where(is_span, r, ty_off_rect)
+            tx = jnp.where(is_span, x0_sel + (local - base), tx_rect)
             ty = rows[T_RECT_Y : T_RECT_Y + 1, :] + ty_off
-            tx = rows[T_RECT_X : T_RECT_X + 1, :] + tx_off
-
-            # exact circle-vs-tile cull (ops/binning.py round 1): closest
-            # pixel center of the tile farther than cut_radius -> alpha <
-            # 1/255 everywhere
-            cx = rows[T_MX : T_MX + 1, :]
-            cy = rows[T_MY : T_MY + 1, :]
-            qx = jnp.clip(cx, tx * tile_w, tx * tile_w + (tile_w - 1))
-            qy = jnp.clip(cy, ty * tile_h, ty * tile_h + (tile_h - 1))
-            d2 = (qx - cx) ** 2 + (qy - cy) ** 2
-            cutr = rows[T_CUTR : T_CUTR + 1, :]
-            hit = d2 <= cutr * cutr
 
             depth = rows[T_DEPTH : T_DEPTH + 1, :]
-            valid = hit & (depth < BIG)
+            valid = depth < BIG
             tile = jnp.where(valid, ty * grid_x + tx, float(num_tiles))
             depth_out = jnp.where(valid, depth, BIG)
 
@@ -217,7 +240,7 @@ def _expand_kernel(
 
 
 def expand_instances(
-    table_T: jnp.ndarray,  # (NUM_TCOLS, P_pad) field-major table
+    table_T: jnp.ndarray,  # (TBL_ROWS, P_pad) field-major table
     chunk_bases: jnp.ndarray,  # (nchunks,) int32, 128-aligned window starts
     *,
     capacity: int,
@@ -257,7 +280,7 @@ def expand_instances(
             pl.BlockSpec((NUM_TCOLS, t_per * CHUNK), lambda i, b_: (0, i)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, t_per, NUM_TCOLS, WINDOW), jnp.float32),
+            pltpu.VMEM((2, t_per, TBL_ROWS, WINDOW), jnp.float32),
             pltpu.SemaphoreType.DMA((2, t_per)),
         ],
     )
@@ -326,7 +349,7 @@ def _align_kernel(
         @pl.when(k < n_out_chunks)
         def _():
             win_dma(buf, t, k).wait()
-            win = win_vmem[buf, t]  # (NUM_TCOLS, WINDOW)
+            win = win_vmem[buf, t]  # (TBL_ROWS, WINDOW)
 
             r = src_ref[k] - (src_ref[k] // CHUNK) * CHUNK  # in [0, CHUNK)
             # out[:, i] = win[:, r + i]: one-hot selector, exact bf16 matmul

@@ -47,9 +47,103 @@ class ProjectedGaussians(NamedTuple):
     radii: jnp.ndarray  # (P,) int32 pixel radius (0 = culled)
     rect_min: jnp.ndarray  # (P, 2) int32 tile coords (x, y)
     rect_max: jnp.ndarray  # (P, 2) int32 exclusive tile coords (x, y)
-    tiles_touched: jnp.ndarray  # (P,) int32
+    tiles_touched: jnp.ndarray  # (P,) int32 EXACT circle-intersecting count
     valid: jnp.ndarray  # (P,) bool
     cut_radius: jnp.ndarray  # (P,) float conservative visibility radius
+    span_x0: jnp.ndarray  # (P, MAX_SPAN_ROWS) f32 first tile-x per rect row
+    span_cum: jnp.ndarray  # (P, MAX_SPAN_ROWS) f32 cum. cell count thru row
+    span_flag: jnp.ndarray  # (P,) bool — span culling applies (rect_h <= 16)
+
+
+# Per-row span culling handles rects up to this many tile rows; taller rects
+# (rare giant footprints) fall back to uncull'd full-rect expansion.
+MAX_SPAN_ROWS = 16
+
+
+def compute_tile_spans(
+    mean2d: jnp.ndarray,  # (P, 2) pixel coords
+    r_cut: jnp.ndarray,  # (P,) cut radius (pixels)
+    rx_min: jnp.ndarray,  # (P,) int32 tile coords
+    ry_min: jnp.ndarray,
+    rx_max: jnp.ndarray,  # exclusive
+    ry_max: jnp.ndarray,
+    *,
+    tile_w: int,
+    tile_h: int,
+):
+    """Exact circle-vs-tile intersection spans, one per bounding-rect row.
+
+    Within one tile row the intersecting tiles form a contiguous x-span
+    (the circle is convex), so the exact per-Gaussian instance count is a
+    sum of <= MAX_SPAN_ROWS span widths — computed here once so the expand
+    kernel maps slot -> (row, tile) with cumulative-count compares and no
+    per-cell test (and, crucially, no sqrt whose rounding could disagree
+    between XLA and Mosaic).
+
+    The span boundaries from the sqrt are verified against the exact
+    per-cell test (closest pixel center vs cut radius, the same predicate
+    the per-cell cull used) at +-1 tile, so the culled SET is identical to
+    cell-by-cell evaluation: never drops a tile whose nearest pixel is
+    within ``r_cut`` (all pixels beyond it sit below the blend's 1/255
+    eligibility floor by construction — see the cut-radius derivation in
+    ``preprocess``).  Reference semantics anchor: getRect + the per-tile
+    loop of duplicateWithKeys (auxiliary.h:49-59, rasterizer_impl.cu:78-126)
+    — the reference expands the full rect; the exact cull is an
+    output-preserving TPU optimization that shrinks every per-instance
+    pipeline stage.
+
+    Returns (span_x0 (P, 16) f32, span_cum (P, 16) f32, tiles (P,) int32,
+    is_span (P,) bool).  For ``is_span == False`` rows (tall rects) the
+    span table is zero and ``tiles`` is the full rect count.
+    """
+    cx = jax.lax.stop_gradient(mean2d[:, 0])
+    cy = jax.lax.stop_gradient(mean2d[:, 1])
+    r_cut = jax.lax.stop_gradient(r_cut)
+    rect_w = rx_max - rx_min
+    rect_h = ry_max - ry_min
+    is_span = (rect_h <= MAX_SPAN_ROWS) & (rect_h > 0) & (rect_w > 0)
+
+    def cell_pass(tx, dy2):
+        # EXACT per-cell predicate (must match ops/binning.py round 1):
+        # closest pixel center of tile tx to the Gaussian center.
+        txf = tx.astype(jnp.float32)
+        qx = jnp.clip(cx, txf * tile_w, txf * tile_w + (tile_w - 1))
+        d2 = (qx - cx) ** 2 + dy2
+        return d2 <= r_cut * r_cut
+
+    x0_rows = []
+    cum_rows = []
+    cum = jnp.zeros_like(cx)
+    for r in range(MAX_SPAN_ROWS):
+        ty = ry_min + r
+        tyf = ty.astype(jnp.float32)
+        qy = jnp.clip(cy, tyf * tile_h, tyf * tile_h + (tile_h - 1))
+        dy2 = (qy - cy) ** 2
+        rem = r_cut * r_cut - dy2
+        dxmax = jnp.sqrt(jnp.maximum(rem, 0.0))
+        # candidate bounds from the sqrt, then verify +-1 with the exact
+        # per-cell test (sqrt rounding can be off by an ulp either way)
+        lo = jnp.ceil((cx - dxmax - (tile_w - 1)) / tile_w).astype(jnp.int32)
+        hi = jnp.floor((cx + dxmax) / tile_w).astype(jnp.int32)
+        lo = jnp.where(cell_pass(lo - 1, dy2), lo - 1,
+                       jnp.where(cell_pass(lo, dy2), lo, lo + 1))
+        hi = jnp.where(cell_pass(hi + 1, dy2), hi + 1,
+                       jnp.where(cell_pass(hi, dy2), hi, hi - 1))
+        lo = jnp.maximum(lo, rx_min)
+        hi = jnp.minimum(hi, rx_max - 1)
+        row_ok = (r < rect_h) & (rem >= 0.0)
+        span = jnp.where(row_ok, jnp.maximum(hi - lo + 1, 0), 0)
+        x0_rows.append(jnp.where(span > 0, lo, 0).astype(jnp.float32))
+        cum = cum + span.astype(jnp.float32)
+        cum_rows.append(cum)
+
+    span_x0 = jnp.stack(x0_rows, axis=1)
+    span_cum = jnp.stack(cum_rows, axis=1)
+    rect_tiles = jnp.maximum(rect_w, 0) * jnp.maximum(rect_h, 0)
+    tiles = jnp.where(is_span, cum.astype(jnp.int32), rect_tiles)
+    span_x0 = jnp.where(is_span[:, None], span_x0, 0.0)
+    span_cum = jnp.where(is_span[:, None], span_cum, 0.0)
+    return span_x0, span_cum, tiles, is_span
 
 
 def compute_cov2d(
@@ -200,7 +294,13 @@ def preprocess(
     ry_max = jnp.clip(
         ((mean2d[:, 1] + rect_radius + tile_h - 1) / tile_h).astype(jnp.int32), 0, grid_y
     )
-    tiles = (rx_max - rx_min) * (ry_max - ry_min)
+    # EXACT instance counts: per rect row, the circle-intersecting tiles
+    # form a contiguous span; corner cells of the bounding rect (~12-25% of
+    # multi-tile footprints) never enter the instance pipeline at all.
+    span_x0, span_cum, tiles, span_flag = compute_tile_spans(
+        mean2d, r_cut, rx_min, ry_min, rx_max, ry_max,
+        tile_w=tile_w, tile_h=tile_h,
+    )
     tiles = jnp.where(op_for_cut * 255.0 > 1.0, tiles, 0)
 
     valid = in_front & det_ok & (tiles > 0)
@@ -227,4 +327,7 @@ def preprocess(
         tiles_touched=tiles,
         valid=valid,
         cut_radius=r_cut,
+        span_x0=span_x0,
+        span_cum=span_cum,
+        span_flag=span_flag,
     )

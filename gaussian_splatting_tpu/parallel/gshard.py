@@ -42,7 +42,11 @@ from gaussian_splatting_tpu.ops import blend_pallas as bp
 from gaussian_splatting_tpu.ops.camera_math import CameraParams
 from gaussian_splatting_tpu.ops.expand import BIG
 from gaussian_splatting_tpu.ops.losses import fused_ssim_weighted_sum
-from gaussian_splatting_tpu.ops.preprocess import ProjectedGaussians, preprocess
+from gaussian_splatting_tpu.ops.preprocess import (
+    ProjectedGaussians,
+    compute_tile_spans,
+    preprocess,
+)
 from gaussian_splatting_tpu.ops.rasterize import _make_render_core, _untile
 from gaussian_splatting_tpu.train.optim import (
     adam_update,
@@ -143,7 +147,6 @@ def _stripe_from_records(flat, *, d, n, grid_x, grid_y_local, tile_w, tile_h,
     ry1 = jnp.clip(flat[:, R_RY1].astype(jnp.int32) - y0_tiles, 0, grid_y_local)
     rx0 = flat[:, R_RX0].astype(jnp.int32)
     rx1 = flat[:, R_RX1].astype(jnp.int32)
-    tiles = jnp.where(valid, (rx1 - rx0) * (ry1 - ry0), 0)
 
     y_shift = jnp.float32(y0_tiles * tile_h)
     diff_fields = jnp.concatenate(
@@ -156,9 +159,17 @@ def _stripe_from_records(flat, *, d, n, grid_x, grid_y_local, tile_w, tile_h,
     )  # (10, n*cap_x), differentiable back through the all_to_all
 
     Pn = flat.shape[0]
-    zeros2 = jnp.zeros((Pn, 2), jnp.float32)
+    mean2d_local = jnp.stack([flat[:, 0], flat[:, 1] - y_shift], axis=1)
+    # Exact-cull spans on the STRIPE-CLIPPED rect: the y shift is a tile
+    # multiple (exact f32 subtraction for on-screen coords), so the span set
+    # is bitwise the stripe's slice of the single-device span set.
+    span_x0, span_cum, tiles, span_flag = compute_tile_spans(
+        mean2d_local, flat[:, R_CUTR], rx0, ry0, rx1, ry1,
+        tile_w=tile_w, tile_h=tile_h,
+    )
+    tiles = jnp.where(valid, tiles, 0)
     pseudo = ProjectedGaussians(
-        means2d=jnp.stack([flat[:, 0], flat[:, 1] - y_shift], axis=1),
+        means2d=mean2d_local,
         depths=depths,
         conics=jnp.zeros((Pn, 3), jnp.float32),
         opacities=jnp.zeros((Pn,), jnp.float32),
@@ -169,9 +180,11 @@ def _stripe_from_records(flat, *, d, n, grid_x, grid_y_local, tile_w, tile_h,
         tiles_touched=tiles.astype(jnp.int32),
         valid=valid,
         cut_radius=flat[:, R_CUTR],
+        span_x0=span_x0,
+        span_cum=span_cum,
+        span_flag=span_flag,
     )
     pseudo = jax.tree_util.tree_map(jax.lax.stop_gradient, pseudo)
-    del zeros2
 
     core, core_inference = _make_render_core(
         grid_x, grid_y_local, tile_w, tile_h, cfg.chunk, capacity_dev,
