@@ -169,18 +169,40 @@ def build_instances(
         interpret=interpret,
     )
 
-    # ---- the payload sort (9 fields; invd recomputed from the depth key) ----
+    # ---- the payload sort (9 fields; invd recomputed from the depth key).
+    # Payload operands are carried, never compared, so pairs of f32 rows
+    # ride ONE complex64 operand — bit-exact, and payload movement is
+    # per-operand overhead-bound (~1.85 ms per f32 column, tools/
+    # micro_sortpack.py), so packing nearly halves the payload cost.  The
+    # source index is exact in f32 (cap_int < 2^24, checked above).
     payload = tuple(meta_exp[i] for i in range(9))
     if grad_layout:
-        src = jnp.arange(cap_int, dtype=jnp.int32)
-        out = jax.lax.sort((tile, depth) + payload + (src,), num_keys=2, is_stable=True)
+        srcf = jnp.arange(cap_int, dtype=jnp.float32)
+        ten = payload + (srcf,)
+        packed5 = tuple(
+            jax.lax.complex(ten[2 * i], ten[2 * i + 1]) for i in range(5)
+        )
+        out = jax.lax.sort((tile, depth) + packed5, num_keys=2, is_stable=True)
         sorted_tile = out[0]
-        sorted_fields = out[2:11]
-        sorted_src = out[11]
+        flat = []
+        for c in out[2:7]:
+            flat.append(jnp.real(c))
+            flat.append(jnp.imag(c))
+        sorted_fields = tuple(flat[:9])
+        sorted_src = flat[9].astype(jnp.int32)
     else:
-        out = jax.lax.sort((tile, depth) + payload, num_keys=2, is_stable=True)
+        packed4 = tuple(
+            jax.lax.complex(payload[2 * i], payload[2 * i + 1]) for i in range(4)
+        )
+        out = jax.lax.sort(
+            (tile, depth) + packed4 + (payload[8],), num_keys=2, is_stable=True
+        )
         sorted_tile = out[0]
-        sorted_fields = out[2:11]
+        flat = []
+        for c in out[2:6]:
+            flat.append(jnp.real(c))
+            flat.append(jnp.imag(c))
+        sorted_fields = tuple(flat) + (out[6],)
         sorted_src = None
     sorted_invd = 1.0 / out[1]  # depth key is finite (BIG, never inf/0)
 

@@ -135,11 +135,20 @@ def _make_render_core(grid_x, grid_y, tile_w, tile_h, chunk, capacity, interpret
         rows = tuple(
             jnp.where(valid, dmeta[i, :cap_int], 0.0) for i in range(10)
         )
-        sorted_out = jax.lax.sort((sorted_src,) + rows, num_keys=1)
+        # Pairs of gradient rows ride ONE complex64 payload operand (carried,
+        # never compared — bit-exact; see the main sort in instances.py).
+        packed5 = tuple(
+            jax.lax.complex(rows[2 * i], rows[2 * i + 1]) for i in range(5)
+        )
+        sorted_out = jax.lax.sort((sorted_src,) + packed5, num_keys=1)
+        flat = []
+        for c in sorted_out[1:]:
+            flat.append(jnp.real(c))
+            flat.append(jnp.imag(c))
         # 16 rows (10 real + 6 zero): Mosaic only DMAs 8/16-row HBM blocks.
         e = jnp.concatenate(
             [
-                jnp.stack(sorted_out[1:], axis=0),
+                jnp.stack(flat, axis=0),
                 jnp.zeros((bp.NUM_FIELDS - 10, cap_int), jnp.float32),
             ],
             axis=0,
