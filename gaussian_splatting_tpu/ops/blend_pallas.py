@@ -15,8 +15,9 @@ TPU-native redesign of the reference's ``renderCUDA`` forward
   product computed as exp of an MXU prefix-sum of logs (both directions —
   the forward's 14-pass Hillis-Steele chain was retired in round 3 for a
   ~1e-7-relative rounding cost), and the per-pixel early-stop
-  (``test_T < 1e-4`` -> done, forward.cu:477-482) becomes a first-bad-lane
-  mask from an MXU prefix count.  Prefix sums ride the MXU as x @
+  (``test_T < 1e-4`` -> done, forward.cu:477-482) becomes a single compare
+  against the monotone test_T lane vector (see _forward_one_tile).  Prefix
+  sums ride the MXU as x @
   upper-triangular-ones contractions with a 2-pass bf16 hi+err split
   (_dot_tri) — tri is exactly bf16 so that recovers ~f32 accuracy at a third
   of Precision.HIGHEST's cost; every conic/mean pixel reduction collapses
@@ -52,6 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_CAP = 0.99
 T_EPS = 1e-4
+BIG_T = 2.0  # > any transmittance; masks non-surviving lanes in the T min
 
 # Field-major instance record layout (rows of the (NUM_FIELDS, capacity) array)
 F_X, F_Y, F_CA, F_CB, F_CC, F_OP, F_R, F_G, F_B, F_INVD = range(10)
@@ -118,6 +120,14 @@ def _dot3(a: jnp.ndarray, b: jnp.ndarray, dims) -> jnp.ndarray:
         preferred_element_type=jnp.float32,
     )
     return d(a_hi, b_hi) + d(a_hi, b_err) + d(a_err, b_hi)
+
+
+def _last_lane(x: jnp.ndarray) -> jnp.ndarray:
+    """x[..., -1:] via a masked reduction (canonical Mosaic layout; a direct
+    last-lane slice forces a vector relayout pass)."""
+    n = x.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    return jnp.sum(jnp.where(lane == n - 1, x, 0.0), axis=-1, keepdims=True)
 
 
 def _tile_pixel_coords(tile_id, grid_x: int, tile_w: int, tile_h: int):
@@ -267,41 +277,43 @@ def _forward_one_tile(
         E = jnp.exp(cum_log - lw)  # exclusive cumprod of (1-a_j)
         T_before = T * E
         test_T = T_before * om
-        bad = eligible & (test_T < T_EPS)
-        # 0/1 inputs, integer counts <= chunk: exact even in one bf16 pass
-        cs_bad = jnp.dot(
-            bad.astype(jnp.float32), tri, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        )
-        before_bad = cs_bad == 0.0  # strictly before the first bad lane
+
+        # Early-stop via MONOTONICITY (round 3): test_T is non-increasing
+        # along lanes (each eligible lane multiplies by om <= 1 - 1/255;
+        # non-eligible lanes add an exact 0 to cum_log, so their test_T is
+        # bitwise the previous value), so "strictly before the first bad
+        # lane" is simply test_T >= T_EPS.  Exactness: for eligible lanes
+        # the equivalence is definitional; a lane after the first bad lane
+        # can never pass the test because the 1/255 alpha floor shrinks
+        # test_T by >= 0.39% per eligible lane while the 2-pass _dot_tri
+        # rounding wiggle is ~3.5e-5 relative — two orders of magnitude
+        # smaller.  This replaces the bad-flag MXU cumsum + one-hot E-at-bad
+        # select + any() + last-lane extraction of rounds 1-2 with one
+        # compare and two lane-min reductions.
+        before_bad = test_T >= T_EPS
         contrib = eligible & before_bad & (~done)
         w = jnp.where(contrib, alpha * T_before, 0.0)
 
-        # ONE MXU contraction computes the four weighted accumulations AND
-        # the two per-pixel lane sums that used to be cross-lane VPU
-        # reductions (~7 shuffle passes each): stack [w; contributing log
-        # factors; bad flags] along the pixel axis against [fields; ones].
-        #   - sum of contributing log(1-a) == log of the T update factor
-        #     (for a pixel stopped at first-bad k*, contrib covers exactly
-        #     the lanes before k*, i.e. the old E_at_bad; with no bad lane
-        #     it is the full inclusive product — identical values),
-        #   - bad-count > 0 == any_bad (0/1 inputs are bf16-exact).
-        lwc = jnp.where(contrib, lw, 0.0)
-        lhs = jnp.concatenate([w, lwc, bad.astype(jnp.float32)], axis=0)
-        rhs = jnp.concatenate(
-            [meta[F_R : F_INVD + 1, :], jnp.ones((1, chunk), jnp.float32)],
-            axis=0,
-        )  # (5, chunk)
-        acc3 = _dot3(lhs, rhs, (((1,), (1,)), ((), ())))  # (3*pix, 5)
-        acc = acc3[:pix]
+        # one MXU contraction computes all four weighted accumulations:
+        # (pix, chunk) x (4, chunk) contracted over the instance lanes
+        acc = _dot3(
+            w, meta[F_R : F_INVD + 1, :], (((1,), (1,)), ((), ()))
+        )  # (pix, 4)
         dCr = acc[:, 0:1]
         dCg = acc[:, 1:2]
         dCb = acc[:, 2:3]
         dinvd = acc[:, 3:4]
-        sum_lwc = acc3[pix : 2 * pix, 4:5]
-        n_bad = acc3[2 * pix :, 4:5]
 
-        T_new = jnp.where(done, T, T * jnp.exp(sum_lwc))
+        # T after this chunk = the smallest surviving test_T (== T * E[k*]
+        # at the first bad lane k*, or the full product with no bad lane —
+        # the min over passing lanes IS that value by monotonicity); the
+        # unmasked min detects any bad lane.  min(T, .) covers the
+        # k* == 0 case (every lane bad -> T unchanged).
+        m_all = jnp.min(test_T, axis=1, keepdims=True)
+        m_ok = jnp.min(
+            jnp.where(before_bad, test_T, BIG_T), axis=1, keepdims=True
+        )
+        T_new = jnp.where(done, T, jnp.minimum(T, m_ok))
 
         # last contributor position (1-based within the tile range)
         lane = jax.lax.broadcasted_iota(jnp.int32, (pix, chunk), 1)
@@ -310,7 +322,7 @@ def _forward_one_tile(
             _col(st, O_NCONTRIB),
             jnp.max(jnp.where(contrib, pos, 0.0), axis=1, keepdims=True),
         )
-        done_new = jnp.where(done | (n_bad > 0.0), 1.0, 0.0)
+        done_new = jnp.where(done | (m_all < T_EPS), 1.0, 0.0)
 
         new_st = jnp.concatenate(
             [
@@ -514,17 +526,15 @@ def _bwd_chunk_math(
         ],
         axis=0,
     )
-    # Per-pixel lane sums via one MXU contraction instead of two cross-lane
-    # VPU reductions: sum(lw) is the log of this chunk's T factor (lw == 0
-    # exactly on non-contributing lanes) and Bq + sum(w*q) equals the last
-    # lane of cq_in (tri's last column is all ones).
-    sums = _dot3(
-        jnp.concatenate([lw, w * q], axis=0),
-        jnp.ones((1, chunk), jnp.float32),
-        (((1,), (1,)), ((), ())),
-    )  # (2*pix, 1)
-    T_new = T * jnp.exp(sums[:pix])
-    Bq_new = Bq + sums[pix:]
+    # Per-pixel lane sums ride the EXISTING MXU contractions: tri's last
+    # column is all ones, so cum_log's last lane is sum(lw) (lw == 0 exactly
+    # on non-contributing lanes — the log of this chunk's T factor) and
+    # cq_in's last lane is Bq + sum(w*q).  No extra contraction; a separate
+    # (2*pix, chunk) @ ones matvec also hits a Mosaic limitation ("only
+    # constant accumulators supported" when the 3-pass split's adds fuse
+    # into the reduction accumulator).
+    T_new = T * jnp.exp(_last_lane(cum_log))
+    Bq_new = _last_lane(cq_in)
     return gblock, T_new, Bq_new
 
 

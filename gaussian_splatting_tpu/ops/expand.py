@@ -207,9 +207,10 @@ def _expand_kernel(
             x0 = rows[T_X0 : T_X0 + N_SPAN, :]
             le = (cum <= local).astype(jnp.float32)
             r = jnp.sum(le, axis=0, keepdims=True)  # (1, CHUNK) in [0, 16]
+            # Mosaic only supports integer iota; cast (exact for 0..15).
             j = jax.lax.broadcasted_iota(
-                jnp.float32, (N_SPAN, CHUNK), 0
-            )
+                jnp.int32, (N_SPAN, CHUNK), 0
+            ).astype(jnp.float32)
             base = jnp.sum(jnp.where(j == r - 1.0, cum, 0.0), axis=0,
                            keepdims=True)
             x0_sel = jnp.sum(jnp.where(j == r, x0, 0.0), axis=0,

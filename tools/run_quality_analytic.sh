@@ -37,7 +37,7 @@ print("analytic dataset done")
 EOF
 fi
 
-python train.py -s "$DATA" -m "$OUT" -w \
+python train.py -s "$DATA" -m "$OUT" -w --eval \
   --disable_viewer \
   --capacity 262144 \
   --test_iterations 1000 7000 15000 30000 \
