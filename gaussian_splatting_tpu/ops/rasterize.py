@@ -92,10 +92,16 @@ def _make_render_core(grid_x, grid_y, tile_w, tile_h, chunk, capacity, interpret
         )
         return packed, layout
 
+    # The core outputs only the OUT_COLS columns the render consumes
+    # (RGB, T, invdepth); the full packed block — including the internal
+    # n_contrib/done columns the backward replay needs — is saved as a VJP
+    # residual.  This keeps the untile transpose AND the incoming cotangent
+    # at 5/8 of the bytes with no zero-pad op (see bp.CT_COLS).
+
     @jax.custom_vjp
     def core(diff_fields, proj_sg):
         packed, layout = _forward(diff_fields, proj_sg, True)
-        return packed, (layout.overflow, layout.num_instances)
+        return packed[:, :, : bp.CT_COLS], (layout.overflow, layout.num_instances)
 
     def core_fwd(diff_fields, proj_sg):
         packed, layout = _forward(diff_fields, proj_sg, True)
@@ -110,7 +116,8 @@ def _make_render_core(grid_x, grid_y, tile_w, tile_h, chunk, capacity, interpret
             packed,
             jax.tree_util.tree_map(_float0_zeros, proj_sg),
         )
-        return (packed, (layout.overflow, layout.num_instances)), res
+        out = packed[:, :, : bp.CT_COLS]
+        return (out, (layout.overflow, layout.num_instances)), res
 
     def core_bwd(res, ct):
         from gaussian_splatting_tpu.ops.segreduce import segment_reduce_rows
@@ -165,7 +172,7 @@ def _make_render_core(grid_x, grid_y, tile_w, tile_h, chunk, capacity, interpret
 
     def core_inference(diff_fields, proj_sg):
         packed, layout = _forward(diff_fields, proj_sg, False)
-        return packed, (layout.overflow, layout.num_instances)
+        return packed[:, :, : bp.CT_COLS], (layout.overflow, layout.num_instances)
 
     return core, core_inference
 
