@@ -163,7 +163,14 @@ def _chunk_alpha(meta, px, py, n_in_chunk, chunk):
 
     dx = x - px  # (PIX, chunk)
     dy = y - py
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    # FMA form: fold the -0.5 / sign into the (1, chunk) conic rows (128x
+    # cheaper than (PIX, chunk) passes) and nest so the big-array work is
+    # 2 muls + 2 FMAs + 1 mul instead of 9 passes.  Same quadratic form as
+    # forward.cu:461 up to reassociation (~1 ulp relative on power).
+    a1 = -0.5 * ca
+    b1 = -cb
+    c1 = -0.5 * cc
+    power = dx * (a1 * dx + b1 * dy) + (c1 * dy) * dy
     G = jnp.exp(power)
     raw = op * G
     alpha = jnp.minimum(ALPHA_CAP, raw)
