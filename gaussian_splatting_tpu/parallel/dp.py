@@ -180,6 +180,10 @@ def dp_train_step(
         exp_adam=new_exp_adam,
         step=step,
     )
+    # device-side overflow no-op: see train.step.train_step
+    new_state = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(overflow > 0, old, new), new_state, state
+    )
     metrics = {
         "loss": loss,
         "l1": l1v,

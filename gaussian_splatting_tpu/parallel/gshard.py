@@ -517,6 +517,11 @@ def gshard_train_step(
         exp_adam=new_exp_adam,
         step=step,
     )
+    # device-side overflow no-op: see train.step.train_step.  overflow is
+    # pmax'd across the mesh, so every shard takes the same branch.
+    new_state = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(overflow > 0, old, new), new_state, state
+    )
     metrics = {
         "loss": loss,
         "l1": l1v,

@@ -370,6 +370,9 @@ def train(
     ema_loss = 0.0
     max_demand = 0
     overflow_discards = 0
+    pending = []  # dispatched-but-unread step metrics (1-step-lag pipeline)
+    stale_ovf_cutoff = [0]  # steps <= this used pre-growth capacity
+    last_m = np.zeros(6, np.float32)  # most recent drained step scalars
     t_start = time.time()
 
     for iteration in range(first_iter + 1, opt.iterations + 1):
@@ -445,69 +448,91 @@ def train(
             )
         else:
             cam_in, batch_in = camera.cam, batch_for(cam_idx, camera)
-        prev_state = state
         fn = get_step_fn(camera.height, camera.width)
         state, metrics = fn(state, cam_in, batch_in)
 
-        # ONE host<->device round-trip for all step scalars
-        m = np.asarray(metrics["packed"])
-
-        # instance-buffer overflow means the render (and its gradients) were
-        # truncated: discard the step, double the slack, retry (the static
-        # replacement of the reference's device->host num_rendered realloc)
-        retries = 0
-        while m[3] > 0 and retries < 4:
-            slack = raster_holder[0].instance_slack * 2.0
-            print(
-                f"[it {iteration}] instance buffer overflow — retrying with "
-                f"instance_slack={slack}"
-            )
-            raster_holder[0] = dataclasses.replace(
-                raster_holder[0], instance_slack=slack
-            )
-            if parallel == "gshard":
-                # exchange-buffer overflow (xovf) is OR'd into the flag; grow
-                # both capacities so either cause is cured by the retry
-                pt = state.model.capacity
-                cur_x = xcap_holder[0] or max(256, 2 * pt // (n_dev * n_dev) + 128)
-                xcap_holder[0] = min(2 * cur_x, pt // n_dev)
-            fn = get_step_fn(camera.height, camera.width)
-            state, metrics = fn(prev_state, cam_in, batch_in)
-            m = np.asarray(metrics["packed"])
-            retries += 1
-        if m[3] > 0:
-            # Retry budget exhausted: the step's gradients were computed from
-            # a truncated instance stream.  Applying them would silently
-            # corrupt training (the reference cannot truncate — it reallocs
-            # exactly, rasterizer_impl.cu:313), so DISCARD the step and keep
-            # the pre-step state.  Persistent exhaustion means the scene
-            # fundamentally exceeds the capacity model — abort loudly.
-            state = prev_state
-            overflow_discards += 1
-            print(
-                f"[it {iteration}] instance buffer still overflowing after "
-                f"{retries} slack doublings (slack="
-                f"{raster_holder[0].instance_slack:.1f}); STEP DISCARDED "
-                f"({overflow_discards} consecutive)."
-            )
-            if overflow_discards >= 3:
-                raise RuntimeError(
-                    "instance-buffer overflow persisted across 3 consecutive "
-                    "steps despite slack doubling — aborting instead of "
-                    "training on truncated gradients. Raise instance_slack "
-                    "or reduce resolution."
+        # ---- 1-step-lag metrics pipeline ----
+        # The step fn makes overflowed iterations a DEVICE-SIDE no-op
+        # (tree-select in train_step), so the host never has to roll back
+        # state and can read step scalars one iteration late: the fetch for
+        # step i overlaps step i+1's device time instead of serializing
+        # every step on a host<->device round-trip (through a remote-device
+        # tunnel that round-trip costs more than the step itself).
+        # Boundary iterations (densify/grow/reset/eval/save/progress) drain
+        # the pipeline so host-side surgery sees current numbers.
+        pending.append((iteration, t_iter_start, cam_idx, metrics))
+        need_sync = (
+            iteration % 100 == 0
+            or iteration == opt.iterations
+            or iteration in test_iterations
+            or iteration in save_iterations
+            or iteration in checkpoint_iterations
+            or on_iteration is not None
+            or jax.config.jax_debug_nans
+        )
+        while pending and (need_sync or len(pending) > 1):
+            it_i, t_i, cam_i, metrics_i = pending.pop(0)
+            m = np.asarray(metrics_i["packed"])
+            if m[3] > 0:
+                # Step it_i overflowed and was a no-op: its camera sample
+                # goes back on the stack.  Grow capacity unless the growth
+                # for this overflow burst already happened (steps dispatched
+                # before the growth still report stale overflow).
+                cam_stack.append(cam_i)
+                if it_i > stale_ovf_cutoff[0]:
+                    overflow_discards += 1
+                    slack = raster_holder[0].instance_slack * 2.0
+                    print(
+                        f"[it {it_i}] instance buffer overflow — step was a "
+                        f"device-side no-op; instance_slack -> {slack} "
+                        f"({overflow_discards} consecutive)"
+                    )
+                    raster_holder[0] = dataclasses.replace(
+                        raster_holder[0], instance_slack=slack
+                    )
+                    if parallel == "gshard":
+                        # exchange-buffer overflow (xovf) is OR'd into the
+                        # flag; grow both so either cause is cured
+                        pt = state.model.capacity
+                        cur_x = xcap_holder[0] or max(
+                            256, 2 * pt // (n_dev * n_dev) + 128
+                        )
+                        xcap_holder[0] = min(2 * cur_x, pt // n_dev)
+                    # every step dispatched up to now used the old capacity
+                    stale_ovf_cutoff[0] = iteration
+                    if overflow_discards >= 4:
+                        raise RuntimeError(
+                            "instance-buffer overflow persisted across 4 "
+                            "slack doublings — aborting instead of silently "
+                            "losing steps. Raise instance_slack or reduce "
+                            "resolution."
+                        )
+                continue
+            overflow_discards = 0
+            loss = float(m[0])
+            ema_loss = 0.4 * loss + 0.6 * ema_loss
+            last_m = m
+            max_demand = max(max_demand, int(m[4]))
+            if tb_writer is not None:
+                # training_report scalars (train.py:336-339)
+                tb_writer.add_scalar(
+                    "train_loss_patches/l1_loss", float(m[1]), it_i
                 )
-            continue
-        overflow_discards = 0
-
-        loss = float(m[0])
-        ema_loss = 0.4 * loss + 0.6 * ema_loss
+                tb_writer.add_scalar(
+                    "train_loss_patches/total_loss", loss, it_i
+                )
+                tb_writer.add_scalar("total_points", int(m[5]), it_i)
+                # wall time since this step's dispatch; on drained boundary
+                # iterations this is the true per-iter wall, on pipelined
+                # ones it includes the 1-step lag (train.py:339 iter_time)
+                tb_writer.add_scalar(
+                    "iter_time", (time.time() - t_i) * 1000.0, it_i
+                )
 
         # adaptive instance capacity: track per-step demand and grow the
         # slack PROACTIVELY at densify boundaries once demand crosses 70% of
-        # the buffer — an overflow retry costs a discarded step + recompile
+        # the buffer — an overflow costs a lost step + recompile
         # mid-schedule (VERDICT round 1 weak #3)
-        max_demand = max(max_demand, int(m[4]))
         if iteration % 100 == 0:
             cap_now = int(
                 raster_holder[0].instance_slack * state.model.capacity
@@ -540,24 +565,17 @@ def train(
                 # random-init scenes)
                 max_demand = 0
 
-        if tb_writer is not None:
-            # training_report scalars (train.py:336-339)
-            tb_writer.add_scalar("train_loss_patches/l1_loss", float(m[1]), iteration)
-            tb_writer.add_scalar("train_loss_patches/total_loss", loss, iteration)
-            tb_writer.add_scalar("total_points", int(m[5]), iteration)
-            # per-iteration wall time in ms (train.py:339 iter_time; the
-            # scalar fetch above already synced the step)
-            tb_writer.add_scalar(
-                "iter_time", (time.time() - t_iter_start) * 1000.0, iteration
-            )
-
         # host-side state surgery: capacity growth, densification, opacity
-        # reset.  All off the hot path (100-iter boundaries).  In gshard
+        # reset.  All off the hot path (100-iter boundaries, where the
+        # metrics pipeline has been drained).  In gshard
         # mode the per-Gaussian arrays are pulled to the host, operated on
         # single-device (densify's free-slot argsort is global over the
         # capacity axis), and re-sharded — the simplest correct mesh-aware
         # densification (VERDICT round-2 missing #2).
-        do_grow = iteration % 100 == 0 and int(m[5]) > 0.9 * state.model.capacity
+        do_grow = (
+            iteration % 100 == 0
+            and int(last_m[5]) > 0.9 * state.model.capacity
+        )
         do_densify = (
             iteration < opt.densify_until_iter
             and iteration > opt.densify_from_iter
@@ -594,10 +612,9 @@ def train(
             state = shard_state(state)
 
         if not quiet and iteration % 500 == 0:
-            n = int(m[5])
             print(
                 f"[it {iteration}/{opt.iterations}] loss={ema_loss:.5f} "
-                f"gaussians={n} inst={int(m[4])} "
+                f"gaussians={int(last_m[5])} inst={int(last_m[4])} "
                 f"({time.time() - t_start:.0f}s)"
             )
 

@@ -188,6 +188,16 @@ def train_step(
         exp_adam=new_exp_adam,
         step=step,
     )
+    # Overflow guard ON DEVICE: a truncated instance stream means truncated
+    # gradients, so an overflowed step keeps the input state bit-for-bit
+    # (including the step counter — LR schedules see the retry, like the
+    # reference's exact realloc-and-redo).  The host can therefore process
+    # step metrics on a 1-step lag (no per-step sync) and grow capacity
+    # when it notices, without ever rolling back corrupted state.
+    ovf = aux_out["overflow"]
+    new_state = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(ovf, old, new), new_state, state
+    )
     metrics = {
         "loss": loss,
         "l1": aux_out["l1"],
