@@ -675,20 +675,37 @@ def render_camera(
     ``exposure`` overrides the per-image affine (pretrained exposure.json at
     render time, scene/gaussian_model.py:163-167).
     """
+    from gaussian_splatting_tpu.config import RasterizeConfig
     from gaussian_splatting_tpu.ops.rasterize import render
     from gaussian_splatting_tpu.train.step import apply_exposure
 
     model = state.model
     means, scales, quats, opac, sh = _activated_params(model)
-    kwargs = {} if raster is None else {"cfg": raster}
-    out = render(
-        means, scales, quats, opac, sh,
-        camera.cam,
-        jnp.asarray(bg),
-        sh_degree=model.max_sh_degree,
-        inference=True,
-        **kwargs,
-    )
+    cfg = raster if raster is not None else RasterizeConfig()
+    while True:
+        out = render(
+            means, scales, quats, opac, sh,
+            camera.cam,
+            jnp.asarray(bg),
+            sh_degree=model.max_sh_degree,
+            inference=True,
+            cfg=cfg,
+        )
+        # Overflow-aware eval: a dense trained model can demand far more
+        # instances per Gaussian than the config's instance_slack (the
+        # training loop adapts its slack but a fresh eval process starts at
+        # the default), and a truncated render silently drops Gaussians —
+        # round-2/3 held-out PSNR was ~20 dB low from exactly this.  The
+        # eval path can afford the sync + recompile of a doubling retry.
+        if not bool(out.overflow):
+            break
+        if cfg.instance_slack > 512.0:
+            raise RuntimeError(
+                "eval render still overflowing at instance_slack > 512"
+            )
+        cfg = dataclasses.replace(
+            cfg, instance_slack=cfg.instance_slack * 2.0
+        )
     image = out.image
     if exposure is not None:
         image = apply_exposure(image, jnp.asarray(exposure, jnp.float32))
@@ -704,18 +721,25 @@ def render_custom_cam(state: TrainState, cam, bg, scale_modifier: float = 1.0,
     """Viewer-path render of an arbitrary CameraParams (train.py:100-108)."""
     from gaussian_splatting_tpu.ops.rasterize import render
 
+    from gaussian_splatting_tpu.config import RasterizeConfig
+
     means, scales, quats, opac, sh = _activated_params(state.model)
-    kwargs = {} if raster is None else {"cfg": raster}
-    out = render(
-        means, scales, quats, opac, sh,
-        cam,
-        jnp.asarray(bg),
-        sh_degree=state.model.max_sh_degree,
-        scale_modifier=float(scale_modifier),
-        inference=True,
-        **kwargs,
-    )
-    return out.image
+    cfg = raster if raster is not None else RasterizeConfig()
+    while True:
+        out = render(
+            means, scales, quats, opac, sh,
+            cam,
+            jnp.asarray(bg),
+            sh_degree=state.model.max_sh_degree,
+            scale_modifier=float(scale_modifier),
+            inference=True,
+            cfg=cfg,
+        )
+        if not bool(out.overflow) or cfg.instance_slack > 512.0:
+            return out.image
+        cfg = dataclasses.replace(
+            cfg, instance_slack=cfg.instance_slack * 2.0
+        )
 
 
 def report_psnr(

@@ -163,3 +163,44 @@ def test_render_camera_honors_raster_config_and_exposure():
     )
     expect = np.clip(0.5 * np.asarray(img_plain) + 0.1, 0.0, 1.0)
     np.testing.assert_allclose(np.asarray(img_exp), expect, atol=1e-5)
+
+
+def test_eval_render_retries_on_instance_overflow():
+    """A fresh eval process starts at the default instance_slack; a dense
+    trained model can demand far more instances per Gaussian, and a
+    truncated render silently drops Gaussians (round-3 bug: held-out PSNR
+    read ~20 dB low).  render_camera must detect overflow and retry with
+    doubled slack until the render is complete."""
+    from types import SimpleNamespace
+
+    from gaussian_splatting_tpu.train.loop import render_camera
+
+    # big overlapping Gaussians: many tiles touched per Gaussian
+    rng = np.random.default_rng(5)
+    n, cap = 64, 128
+    pts = rng.uniform(-0.3, 0.3, (n, 3)).astype(np.float32)
+    cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    model = create_from_pcd(
+        pts, cols, max_sh_degree=1, spatial_lr_scale=1.5, capacity=cap
+    )
+    # inflate scales so each Gaussian covers a large tile footprint
+    model = dataclasses.replace(
+        model, params=model.params._replace(
+            scales=model.params.scales + 2.0
+        )
+    )
+    scene = random_scene(4, width=128, height=96, seed=2)
+    state = init_train_state(model, num_images=1)
+    cam_holder = SimpleNamespace(cam=scene.cam, image_name="x", exposure_idx=0)
+    bg = np.zeros(3, np.float32)
+
+    tight = RasterizeConfig(instance_slack=2.0)
+    img, out = render_camera(state, cam_holder, tight, bg)
+    assert not bool(out.overflow)  # the returned render is complete
+
+    ample = RasterizeConfig(instance_slack=512.0)
+    img_ref, out_ref = render_camera(state, cam_holder, ample, bg)
+    assert not bool(out_ref.overflow)
+    np.testing.assert_allclose(
+        np.asarray(img), np.asarray(img_ref), atol=2e-5
+    )
