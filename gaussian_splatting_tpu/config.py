@@ -84,7 +84,12 @@ class RasterizeConfig:
 
     tile_w: int = 16
     tile_h: int = 16
-    chunk: int = 128  # instances processed per inner step (lane dimension)
+    # Instances processed per blend inner step (lane dimension).  256 halves
+    # the blend kernels' per-chunk fixed costs (DMA issue + per-pixel-block
+    # state read-modify-write dominate at 128 — tools/micro_blend_floor.py)
+    # for ~20% more padding lanes; the expansion/sort pipeline stays at its
+    # 128-lane granularity (ops/expand.CHUNK).
+    chunk: int = 256
     # Instance-buffer capacity as a multiple of the Gaussian count; the
     # fixed-capacity buffer replaces the reference's device-to-host
     # ``num_rendered`` sync (rasterizer_impl.cu:309-313).  If the buffer

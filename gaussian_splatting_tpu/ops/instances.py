@@ -77,13 +77,22 @@ def build_instances(
     tile_h: int,
     grad_layout: bool = True,
     interpret: bool = False,
+    align_chunk: int = CHUNK,
 ) -> InstanceLayout:
     """proj supplies the non-differentiable binning geometry (callers pass
     stop_gradient-ed projections); diff_fields carries the blend records the
-    custom VJP differentiates through."""
+    custom VJP differentiates through.
+
+    ``align_chunk`` is the BLEND kernels' lane-chunk (a multiple of the
+    128-lane expansion CHUNK): tile ranges in the aligned layout start at
+    align_chunk multiples so the blend's per-chunk fixed costs (DMA issue,
+    state read-modify-write, loop bookkeeping — measured ~2/3 of the
+    forward kernel at chunk=128, tools/micro_blend_floor.py) amortize over
+    bigger chunks, at the price of more padding lanes per tile."""
     if capacity >= MAX_CAPACITY:
         raise ValueError(f"instance capacity {capacity} exceeds f32-exact range")
     assert capacity % CHUNK == 0
+    assert align_chunk % CHUNK == 0
     P = proj.tiles_touched.shape[0]
     num_tiles = grid_x * grid_y
 
@@ -215,11 +224,17 @@ def build_instances(
     starts_t = starts_ext[:num_tiles]
     counts_t = starts_ext[1:] - starts_t
 
-    aligned_counts = ((counts_t + CHUNK - 1) // CHUNK) * CHUNK
+    aligned_counts = (
+        (counts_t + align_chunk - 1) // align_chunk
+    ) * align_chunk
     aligned_starts = (jnp.cumsum(aligned_counts) - aligned_counts).astype(jnp.int32)
-    # +CHUNK of tail slack for the blend kernels' last-chunk prefetch,
-    # rounded to the align kernel's grid granularity (no pad copy after).
-    cap_aligned = -(-(aligned_capacity(capacity, num_tiles) + CHUNK) // gran) * gran
+    # + align_chunk of tail slack for the blend kernels' last-chunk
+    # prefetch, rounded to the align kernel's grid granularity (no pad copy
+    # after).  gran is a multiple of align_chunk for align_chunk <= 1024.
+    cap_aligned = (
+        -(-(aligned_capacity(capacity, num_tiles, align_chunk) + align_chunk)
+          // gran) * gran
+    )
 
     # ---- compact sorted meta -> aligned relayout (Pallas rotate kernel) ----
     # Rows 0..9 are F_X..F_INVD; rows 10..15 zero padding (Mosaic DMAs only
@@ -283,5 +298,7 @@ def build_instances(
     )
 
 
-def aligned_capacity(capacity: int, num_tiles: int) -> int:
-    return capacity + num_tiles * CHUNK
+def aligned_capacity(
+    capacity: int, num_tiles: int, align_chunk: int = CHUNK
+) -> int:
+    return capacity + num_tiles * align_chunk

@@ -74,6 +74,13 @@ def _make_render_core(grid_x, grid_y, tile_w, tile_h, chunk, capacity, interpret
         grid_x=grid_x, grid_y=grid_y, tile_w=tile_w, tile_h=tile_h,
         chunk=chunk, interpret=interpret,
     )
+    # Asymmetric lane-chunks: the forward is per-chunk-fixed-cost bound
+    # (bigger chunks pay, tools/micro_blend_floor.py) while the backward's
+    # per-lane gradient math dominates (bigger chunks LOSE — measured
+    # 29.8 -> 30.8 ms at 256).  Tile starts are aligned to the larger
+    # forward chunk, which is also 128-aligned, so the backward can read
+    # 128-lane chunks from the same layout.
+    kw_bwd = dict(kw, chunk=min(chunk, 128))
 
     def _forward(diff_fields, proj_sg, grad_layout):
         layout = inst.build_instances(
@@ -86,6 +93,7 @@ def _make_render_core(grid_x, grid_y, tile_w, tile_h, chunk, capacity, interpret
             tile_h=tile_h,
             grad_layout=grad_layout,
             interpret=interpret,
+            align_chunk=chunk,
         )
         packed = bp.blend_forward_pallas(
             layout.meta_aligned, layout.tile_starts, layout.tile_ends, **kw
@@ -130,7 +138,7 @@ def _make_render_core(grid_x, grid_y, tile_w, tile_h, chunk, capacity, interpret
         # per-instance grads in COMPACT sorted order (staging-stream kernel)
         dmeta = bp.blend_backward_compact_pallas(
             meta, starts, ends, cstarts, packed, ct_packed,
-            capacity=cap_int, **kw
+            capacity=cap_int, **kw_bwd
         )
         # compact order -> expansion order rides a payload sort (the random
         # lane gather this replaces measured ~35 ms/iter at bench scale).

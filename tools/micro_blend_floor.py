@@ -95,7 +95,31 @@ def _stripped_kernel(starts_ref, ends_ref, meta_hbm, out_ref, meta_vmem, sems,
                 cum_log = bp._dot_tri(lw, tri)
                 E = jnp.exp(cum_log - lw)
                 test_T = E * om
-                return acc + jnp.sum(jnp.where(test_T >= bp.T_EPS, alpha, 0.0))
+                if level == "cumlog":
+                    return acc + jnp.sum(
+                        jnp.where(test_T >= bp.T_EPS, alpha, 0.0)
+                    )
+                # + the accumulation contraction and lane reductions, but
+                # NO (pix, 8) state read-modify-write and NO while-loop
+                before_bad = test_T >= bp.T_EPS
+                w = jnp.where(before_bad & eligible, alpha * E, 0.0)
+                a4 = bp._dot3(
+                    w, meta[bp.F_R : bp.F_INVD + 1, :],
+                    (((1,), (1,)), ((), ())),
+                )  # (pix, 4)
+                m_all = jnp.min(test_T, axis=1, keepdims=True)
+                m_ok = jnp.min(
+                    jnp.where(before_bad, test_T, bp.BIG_T),
+                    axis=1, keepdims=True,
+                )
+                lane = jax.lax.broadcasted_iota(jnp.int32, (pix, CHUNK), 1)
+                pos = (c * CHUNK + lane + 1).astype(jnp.float32)
+                nc = jnp.max(jnp.where(before_bad, pos, 0.0), axis=1,
+                             keepdims=True)
+                return (
+                    acc + jnp.sum(a4) + jnp.sum(m_all) + jnp.sum(m_ok)
+                    + jnp.sum(nc)
+                )
 
             acc = jax.lax.fori_loop(0, nchunks, body, jnp.float32(0))
             out_ref[t] = jnp.full((pix, 8), acc)
@@ -120,12 +144,18 @@ def run_stripped(level, meta, starts, ends):
     )(s, e, meta)
 
 
+def _sync(out):
+    # block_until_ready can return immediately for tunnel arrays; a scalar
+    # fetch is the reliable sync (DEVNOTES round 2)
+    return float(jnp.asarray(out).ravel()[0])
+
+
 def timeit(name, fn, *args, n=10):
-    out = jax.block_until_ready(fn(*args))
+    _sync(fn(*args))
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     print(f"{name:>10}: {(time.perf_counter() - t0) / n * 1e3:8.2f} ms",
           flush=True)
 
@@ -150,7 +180,7 @@ layout = jax.jit(lambda p, f: inst.build_instances(
     tile_w=tile_w, tile_h=tile_h))(proj, jax.jit(_diff_fields)(proj))
 layout = jax.block_until_ready(layout)
 
-for level in ("dma", "alpha", "cumlog"):
+for level in ("dma", "alpha", "cumlog", "accum"):
     timeit(level, jax.jit(functools.partial(run_stripped, level)),
            layout.meta_aligned, layout.tile_starts, layout.tile_ends)
 
