@@ -75,6 +75,11 @@ def main():
         convert_SHs_python=pipe.convert_SHs_python,
         compute_cov3D_python=pipe.compute_cov3D_python,
     )
+    # Seed instance_slack from the trained value (raster_state.json) so the
+    # first frame renders with zero overflow->recompile retries.
+    from gaussian_splatting_tpu.train.loop import load_raster_state
+
+    raster_cfg = load_raster_state(args.model_path, raster_cfg)
 
     import imageio.v2 as imageio
 

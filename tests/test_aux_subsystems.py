@@ -190,3 +190,30 @@ def test_colmap_points2d_roundtrip(tmp_path):
     im = images[7]
     np.testing.assert_allclose(im.xys, [[1.5, 2.5], [3.5, 4.5]])
     np.testing.assert_array_equal(im.point3d_ids, [42, -1])
+
+
+def test_raster_state_persist_roundtrip(tmp_path):
+    """save_raster_state/load_raster_state: eval seeds the trained slack
+    (only ever raising it), and a missing file leaves the config alone."""
+    from gaussian_splatting_tpu.config import RasterizeConfig
+    from gaussian_splatting_tpu.train.loop import (
+        load_raster_state,
+        save_raster_state,
+    )
+
+    cfg = RasterizeConfig()
+    # missing file: unchanged
+    assert load_raster_state(str(tmp_path), cfg) == cfg
+
+    trained = RasterizeConfig(instance_slack=9.25)
+    save_raster_state(str(tmp_path), trained, capacity=69_120)
+    seeded = load_raster_state(str(tmp_path), cfg)
+    assert seeded.instance_slack == 9.25
+    with open(os.path.join(str(tmp_path), "raster_state.json")) as f:
+        rs = json.load(f)
+    assert rs["capacity"] == 69_120
+
+    # persisted value LOWER than the caller's config: keep the higher one
+    low = RasterizeConfig(instance_slack=1.0)
+    save_raster_state(str(tmp_path), low, capacity=128)
+    assert load_raster_state(str(tmp_path), cfg).instance_slack == cfg.instance_slack

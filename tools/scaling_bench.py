@@ -121,6 +121,21 @@ def main():
                 return gshard_train_step(s, cams[0], batches[0], mesh,
                                          opt=opt, raster=raster)
 
+        # collective census from the compiled HLO (the evidence the scaling
+        # claim rides on: what actually crosses the mesh per step)
+        jstep = jax.jit(step)
+        hlo = jstep.lower(state).compile().as_text()
+        colls = {}
+        for op in ("all-to-all", "all-reduce", "all-gather",
+                   "collective-permute", "reduce-scatter"):
+            n = sum(
+                1 for line in hlo.splitlines()
+                if f" {op}" in line and "start" not in line.split("=")[0]
+            )
+            if n:
+                colls[op] = n
+        step = jstep
+
         s2, m = step(state)
         jax.block_until_ready(s2.model.params.means3d)
         t0 = time.perf_counter()
@@ -151,6 +166,8 @@ def main():
                   f"{px_per_s/1e6:7.2f} Mpx/s  speedup {speedup:4.2f}x  "
                   f"efficiency {eff:5.1f}%  "
                   f"exchange {xbytes/1e6:.1f} MB/dev/step (cap_x={cap_x})")
+        if colls:
+            print(f"  collectives in compiled HLO: {colls}")
 
 
 if __name__ == "__main__":
