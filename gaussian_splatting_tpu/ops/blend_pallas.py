@@ -144,12 +144,14 @@ def _tile_pixel_coords(tile_id, grid_x: int, tile_w: int, tile_h: int):
     return px, py
 
 
-def _chunk_alpha(meta, px, py, n_in_chunk, chunk):
+def _chunk_alpha(meta, px, py, n_in_chunk, chunk, *, want_grad_terms=False):
     """Per-(pixel, instance) alpha for one chunk.
 
     meta: (NUM_FIELDS, chunk) VMEM slab; px/py: (PIX, 1).
-    Returns (alpha_eff, eligible, not_capped, G, dx, dy); alpha_eff is zero
-    where not eligible.  Skip semantics match forward.cu:462-476.
+    Returns (alpha_eff, eligible, not_capped, G); alpha_eff is zero where
+    not eligible.  Skip semantics match forward.cu:462-476.  The forward
+    pass sets want_grad_terms=False: not_capped/G are backward-only and
+    their passes are skipped (G's exp result still feeds alpha either way).
     """
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     in_range = lane < n_in_chunk  # (1, chunk)
@@ -176,8 +178,10 @@ def _chunk_alpha(meta, px, py, n_in_chunk, chunk):
     alpha = jnp.minimum(ALPHA_CAP, raw)
     eligible = (power <= 0.0) & (alpha >= ALPHA_MIN) & in_range
     alpha_eff = jnp.where(eligible, alpha, 0.0)
+    if not want_grad_terms:
+        return alpha_eff, eligible, None, None
     not_capped = raw < ALPHA_CAP
-    return alpha_eff, eligible, not_capped, G, dx, dy
+    return alpha_eff, eligible, not_capped, G
 
 
 def _col(state: jnp.ndarray, i: int) -> jnp.ndarray:
@@ -267,7 +271,7 @@ def _forward_one_tile(
         done = _col(st, O_DONE) > 0.0
 
         n_in_chunk = end - start - c * chunk
-        alpha, eligible, _ncap, _G, _dx, _dy = _chunk_alpha(
+        alpha, eligible, _ncap, _G = _chunk_alpha(
             meta, px, py, n_in_chunk, chunk
         )
 
@@ -436,12 +440,19 @@ def _dot_exact_rhs01(x, onehot):
 
 def _bwd_chunk_math(
     meta, c, n_in_chunk, T, Bq, px, py, ox, oy, Pmat, tri,
-    T_final, Ctot_q, dC_r, dC_g, dC_b, dinvd, ct_T, n_contrib, chunk, pix,
+    Ctot_q, ctmat, n_contrib, chunk, pix,
 ):
     """Per-chunk backward-replay math shared by the aligned- and compact-
-    output kernels.  Returns (gblock (16, chunk), T_new, Bq_new)."""
-    alpha, eligible, not_capped, G, dx, dy = _chunk_alpha(
-        meta, px, py, n_in_chunk, chunk
+    output kernels.  Returns (gblock (16, chunk), T_new, Bq_new).
+
+    ``Ctot_q`` arrives PRE-FOLDED with the final-transmittance cotangent
+    term (Ctot_q + T_final*ct_T, per tile) — the /(1-a_k) denominators of
+    the suffix and T_final terms are identical (backward.cu:556-590), so
+    folding removes two (pix, chunk) passes from every chunk.  ``ctmat`` is
+    the per-tile (pix, 4) cotangent block [dC_r|dC_g|dC_b|dinvd].
+    """
+    alpha, eligible, not_capped, G = _chunk_alpha(
+        meta, px, py, n_in_chunk, chunk, want_grad_terms=True
     )
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (pix, chunk), 1)
@@ -461,37 +472,44 @@ def _bwd_chunk_math(
     T_before = T * E  # true transmittance at each contributing instance
     w = a * T_before
 
-    r = meta[F_R, :][None, :]
-    g = meta[F_G, :][None, :]
-    b = meta[F_B, :][None, :]
-    iv = meta[F_INVD, :][None, :]
-
-    # dC/da_k = c_k T_k - suffix_k/(1-a_k) - T_final*ct_T/(1-a_k), where
-    # suffix_k = C_total - prefix_incl(k)  (equivalent to the reference's
-    # accum_rec formulation, backward.cu:556-590).  The four per-channel
-    # suffixes collapse into ONE because the cotangents dC_c are constant
-    # per pixel:  sum_c dC_c * suffix_c(k) = suffix of w*q with
-    # q = r*dC_r + g*dC_g + b*dC_b + iv*dinvd — a single prefix sum.
-    q = r * dC_r + g * dC_g + b * dC_b + iv * dinvd
+    # dC/da_k = c_k T_k - suffix_k/(1-a_k), with the per-channel suffixes
+    # collapsed into ONE because the cotangents dC_c are constant per
+    # pixel:  sum_c dC_c * suffix_c(k) = suffix of w*q with
+    # q = r*dC_r + g*dC_g + b*dC_b + iv*dinvd — a single prefix sum.  q is
+    # a (pix,4)@(4,chunk) contraction, so it rides the MXU (round 4:
+    # replaces seven (pix, chunk) VPU passes).
+    q = _dot3(ctmat, meta[F_R : F_INVD + 1, :], (((1,), (0,)), ((), ())))
     cq_in = Bq + _dot_tri(w * q, tri)
     inv_om = 1.0 / om
-    dL_da = (
-        q * T_before
-        - (Ctot_q - cq_in) * inv_om
-        - T_final * inv_om * ct_T
-    )
-    dL_da = jnp.where(contrib, dL_da, 0.0)
 
-    op = meta[F_OP, :][None, :]
-    # alpha = min(0.99, op*G): zero grad through the capped branch.
-    gl = jnp.where(not_capped, op * dL_da, 0.0) * G
+    # gl = G * d(alpha)/d(raw) * op * dL/da written in w-form:
+    # op*G*dL_da = q*w*... no — alpha*dL_da = q*w - (alpha/om)*(suffix),
+    # and op*G == alpha exactly on uncapped lanes (the only ones that get
+    # gradient), so gl = q*w - (a*inv_om)*(Ctot_q - cq_in) there.  The
+    # where() both zeroes capped lanes (zero grad through the alpha cap,
+    # oracle.py) and kills any NaN ridden in from masked-lane meta.
+    gl = jnp.where(
+        contrib & not_capped,
+        q * w - (a * inv_om) * (Ctot_q - cq_in),
+        0.0,
+    )
 
     # ALL pixel reductions as two MXU contractions over the pixel axis:
     #   s = Pmat^T @ gl -> per-instance moments [Σgl, Σgl·px, Σgl·py,
     #       Σgl·px², Σgl·px·py, Σgl·py²] from which every conic/mean
     #       gradient follows (per-instance factors pulled out of the sum),
     #   cacc = [dC_r|dC_g|dC_b|dinvd]^T @ w -> the color/invdepth grads.
-    s = _dot3(Pmat, gl, (((0,), (0,)), ((), ())))  # (8, chunk)
+    # Pmat entries are integers <= 225 — EXACTLY bf16-representable — so
+    # only gl needs the hi+err split: two default-precision passes give the
+    # same ~2^-17 accuracy as _dot3's three.
+    gl_hi = gl.astype(jnp.bfloat16).astype(jnp.float32)
+    gl_err = gl - gl_hi
+    _dp = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = _dp(Pmat, gl_hi) + _dp(Pmat, gl_err)  # (8, chunk)
     s0 = s[0:1]
     sx = s[1:2]
     sy = s[2:3]
@@ -520,7 +538,6 @@ def _bwd_chunk_math(
     op_row = meta[F_OP : F_OP + 1, :]
     dL_dop = s0 * jnp.where(op_row > 0.0, 1.0 / jnp.maximum(op_row, 1e-30), 0.0)
 
-    ctmat = jnp.concatenate([dC_r, dC_g, dC_b, dinvd], axis=1)  # (pix, 4)
     cacc = _dot3(ctmat, w, (((0,), (0,)), ((), ())))  # (4, chunk)
     dL_dr = cacc[0:1]
     dL_dg = cacc[1:2]
@@ -677,7 +694,12 @@ def _backward_one_tile_compact(
     dC_b = _col(ct, CT_B)
     dinvd = _col(ct, CT_INVD)
     ct_T = _col(ct, CT_BGDOT)
-    Ctot_q = C_tot_r * dC_r + C_tot_g * dC_g + C_tot_b * dC_b + invd_tot * dinvd
+    # T_final*ct_T folded in: its /(1-a_k) denominator matches the suffix's
+    ctmat = jnp.concatenate([dC_r, dC_g, dC_b, dinvd], axis=1)  # (pix, 4)
+    Ctot_q = (
+        C_tot_r * dC_r + C_tot_g * dC_g + C_tot_b * dC_b + invd_tot * dinvd
+        + T_final * ct_T
+    )
 
     nchunks = pl.cdiv(end - start, chunk)
     # Early-out: instances past the LAST contributor of any pixel (the
@@ -725,8 +747,7 @@ def _backward_one_tile_compact(
             meta = meta_vmem[slot]
             gblock, T_new, Bq_new = _bwd_chunk_math(
                 meta, c, n_in_chunk, T, Bq, px, py, ox, oy, Pmat, tri,
-                T_final, Ctot_q, dC_r, dC_g, dC_b, dinvd, ct_T, n_contrib,
-                chunk, pix,
+                Ctot_q, ctmat, n_contrib, chunk, pix,
             )
             # lanes past the tile's true count are aligned-layout padding:
             # they have no compact destination; zero them before staging

@@ -76,6 +76,7 @@ NUM_TCOLS = 16
 T_X0 = 16  # rows 16..31: span_x0[r], r = 0..15
 T_CUM = 32  # rows 32..47: span_cum[r] (count through rect row r)
 N_SPAN = 16
+N_BASE_ROWS = 16  # full-precision table rows; rows >= 16 are < 2^16 ints
 TBL_ROWS = 48
 
 # Output meta row order == blend_pallas field order (F_X..F_B).  F_INVD is
@@ -183,7 +184,20 @@ def _expand_kernel(
             )
             onehotT = geT - ge_below  # exactly one 1.0 per column
 
-            rows = _dot_exact_rhs01(win, onehotT)  # (TBL_ROWS, CHUNK)
+            # Split-precision expansion (round 4): the 16 base rows carry
+            # full-f32 payloads (3-way bf16 split, 24 mantissa bits), but
+            # the 32 span-table rows are integers < 2^16 (span_cum <= rect
+            # area <= 16*120, span_x0 <= grid_x) — hi+mid covers them
+            # EXACTLY, dropping a third of their matmul/split passes.
+            rows_base = _dot_exact_rhs01(
+                win[:N_BASE_ROWS], onehotT
+            )  # (16, CHUNK)
+            sp = win[N_BASE_ROWS:]
+            sp_hi = sp.astype(jnp.bfloat16).astype(jnp.float32)
+            sp_mid = sp - sp_hi
+            d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+            rows_span = d(sp_hi, onehotT) + d(sp_mid, onehotT)
+            rows = jnp.concatenate([rows_base, rows_span], axis=0)
 
             # g index: count of offsets <= slot, single exact pass (0/1)
             counts = jnp.dot(

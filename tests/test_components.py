@@ -323,3 +323,56 @@ def test_knn_morton_accuracy_on_clustered_cloud():
     assert np.median(log_err) < 0.05
     assert np.quantile(log_err, 0.95) < 2 * np.log(2.0)
     assert log_err.mean() < 0.25
+
+
+@pytest.mark.parametrize("scene_name", ["spheres", "thicket", "glossy"])
+def test_analytic_shader_jax_matches_numpy(scene_name):
+    """The quality-corpus GT path: the jitted CPU shader must match the
+    pure-numpy raytracer (same geometry, shading, shadows, speculars and
+    hit distances) — GT independence from the renderer under test rests on
+    this equivalence."""
+    import math
+
+    from gaussian_splatting_tpu.utils.synthetic_dataset import (
+        _analytic_scene,
+        _shade_analytic,
+        _shade_analytic_fast,
+    )
+
+    spheres, plane = _analytic_scene(0, scene_name)
+    rng = np.random.default_rng(3)
+    n = 4096
+    # rays from an orbit-ish viewpoint through a spread of directions
+    eye = np.array([2.6, 1.7, -2.9])
+    d = np.stack(
+        [
+            rng.uniform(-0.45, 0.45, n),
+            rng.uniform(-0.45, 0.2, n),
+            np.ones(n),
+        ],
+        axis=1,
+    )
+    fwd = -eye / np.linalg.norm(eye)
+    up = np.array([0.0, 1.0, 0.0])
+    right = np.cross(up, fwd)
+    right /= np.linalg.norm(right)
+    upv = np.cross(fwd, right)
+    d = d[:, 0:1] * right + d[:, 1:2] * upv + d[:, 2:3] * fwd
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    orig = np.broadcast_to(eye, d.shape)
+
+    rgb_np, a_np, t_np = _shade_analytic(orig, d, spheres, plane)
+    rgb_jx, a_jx, t_jx = _shade_analytic_fast(orig, d, spheres, plane)
+
+    assert (a_np > 0).any() and (a_np == 0).any(), "test rays must mix hit/miss"
+    np.testing.assert_array_equal(a_np, a_jx)
+    # f32 vs f64 tracing: tiny discrepancies only
+    hit = a_np > 0
+    np.testing.assert_allclose(t_jx[hit], t_np[hit], rtol=2e-3, atol=2e-3)
+    # shading parity away from texture/shadow decision boundaries: compare
+    # medians of per-ray error, allowing a small fraction of boundary flips
+    err = np.abs(rgb_jx - rgb_np).max(axis=1)
+    assert np.quantile(err, 0.97) < 0.02, f"shading mismatch: q97={np.quantile(err, 0.97)}"
+    if scene_name == "glossy":
+        # speculars actually present and view-dependent content nontrivial
+        assert any(s["spec"] > 0 for s in spheres)

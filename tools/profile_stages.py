@@ -74,7 +74,7 @@ fwd_fn = jax.jit(lambda m, s, e: bp.blend_forward_pallas(
 packed = timeit("blend_fwd", fwd_fn, layout.meta_aligned, layout.tile_starts,
                 layout.tile_ends)
 
-ct = jnp.ones_like(packed)
+ct = jnp.ones(packed.shape[:2] + (bp.CT_COLS,), packed.dtype)
 bwd_fn = jax.jit(lambda m, s, e, c_, f, ctp: bp.blend_backward_compact_pallas(
     m, s, e, c_, f, ctp, capacity=capacity, grid_x=grid_x, grid_y=grid_y,
     tile_w=tile_w, tile_h=tile_h, chunk=cfg.chunk, interpret=False))

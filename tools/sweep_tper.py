@@ -73,12 +73,14 @@ for t_per in (8, 16, 32):
     packed = timeit(f"fwd t_per={t_per}", fn, layout.meta_aligned,
                     layout.tile_starts, layout.tile_ends)
 
-ct = jnp.ones_like(packed)
-for t_per in (2, 4, 8):
-    fn = jax.jit(lambda m, s, e, c_, f, ctp, tp=t_per:
-                 bp.blend_backward_compact_pallas(
-                     m, s, e, c_, f, ctp, capacity=cap_int, grid_x=grid_x,
-                     grid_y=grid_y, tile_w=tile_w, tile_h=tile_h,
-                     chunk=cfg.chunk, t_per=tp))
-    timeit(f"bwd t_per={t_per}", fn, layout.meta_aligned, layout.tile_starts,
-           layout.tile_ends, layout.starts_compact, packed, ct)
+ct = jnp.ones(packed.shape[:2] + (bp.CT_COLS,), packed.dtype)
+for chunk_b in (128, 256):
+    for t_per in (2, 4):
+        fn = jax.jit(lambda m, s, e, c_, f, ctp, tp=t_per, cb=chunk_b:
+                     bp.blend_backward_compact_pallas(
+                         m, s, e, c_, f, ctp, capacity=cap_int, grid_x=grid_x,
+                         grid_y=grid_y, tile_w=tile_w, tile_h=tile_h,
+                         chunk=cb, t_per=tp))
+        timeit(f"bwd chunk={chunk_b} t_per={t_per}", fn, layout.meta_aligned,
+               layout.tile_starts, layout.tile_ends, layout.starts_compact,
+               packed, ct)
