@@ -106,6 +106,32 @@ def _dot_tri(x: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
     return hi + err
 
 
+def _cumsum_lanes(x: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive lane cumsum of (pix, chunk) via BLOCKED tri matmuls.
+
+    tri is (128, 128); chunk must be a multiple of 128.  The naive
+    (pix, chunk) @ (chunk, chunk) contraction scales quadratically in the
+    chunk — at chunk=256 it doubles the MXU MACs per slot, which is exactly
+    what made the 256-lane backward LOSE in the round-3 sweep.  Blocking
+    keeps the MXU work linear: per 128-block one tri contraction plus a
+    broadcast add of the running block total (f32-exact adds; the ~2^-17
+    _dot_tri residual is unchanged)."""
+    b = tri.shape[0]
+    n = x.shape[-1]
+    if n == b:
+        return _dot_tri(x, tri)
+    assert n % b == 0
+    out = []
+    carry = None
+    for k in range(n // b):
+        c = _dot_tri(x[:, k * b : (k + 1) * b], tri)
+        if carry is not None:
+            c = c + carry
+        carry = _last_lane(c)
+        out.append(c)
+    return jnp.concatenate(out, axis=1)
+
+
 def _dot3(a: jnp.ndarray, b: jnp.ndarray, dims) -> jnp.ndarray:
     """dot_general at ~f32 accuracy in THREE default-precision MXU passes.
 
@@ -213,7 +239,7 @@ def _forward_kernel(
     program cost — constants, loop setup, pipeline bookkeeping — which
     dominates for lightly-loaded tiles)."""
     pix = tile_w * tile_h
-    tri = _upper_tri(chunk)
+    tri = _upper_tri(min(chunk, 128))
     lane8 = jax.lax.broadcasted_iota(jnp.int32, (pix, OUT_COLS), 1)
 
     for t in range(t_per):
@@ -287,7 +313,7 @@ def _forward_one_tile(
         # are self-consistent; vs the oracle they can flip only inside a
         # ~1e-6-relative window around T_EPS.
         lw = jnp.log(om)
-        cum_log = _dot_tri(lw, tri)  # inclusive cumsum of logs
+        cum_log = _cumsum_lanes(lw, tri)  # inclusive cumsum of logs
         E = jnp.exp(cum_log - lw)  # exclusive cumprod of (1-a_j)
         T_before = T * E
         test_T = T_before * om
@@ -433,6 +459,16 @@ def _dot_exact_rhs01(x, onehot):
     return d(hi, onehot) + d(mid, onehot) + d(lo, onehot)
 
 
+def _dot_rhs01_2pass(x, onehot):
+    """x @ onehot for 0/1 ``onehot``, hi+mid split only (16 mantissa bits,
+    ~2^-16 relative — the per-instance grad budget is 3e-4).  Zero columns
+    still stay EXACTLY zero: 0 splits to 0 + 0."""
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    mid = x - hi
+    d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    return d(hi, onehot) + d(mid, onehot)
+
+
 # --------------------------------------------------------------------------
 # Backward
 # --------------------------------------------------------------------------
@@ -467,7 +503,7 @@ def _bwd_chunk_math(
     # (log 0), and contributing alphas are capped at 0.99 so log(om) is
     # finite; the ~1e-7 relative rounding is far below grad tolerances.
     lw = jnp.log(om)
-    cum_log = _dot_tri(lw, tri)
+    cum_log = _cumsum_lanes(lw, tri)
     E = jnp.exp(cum_log - lw)
     T_before = T * E  # true transmittance at each contributing instance
     w = a * T_before
@@ -479,7 +515,7 @@ def _bwd_chunk_math(
     # a (pix,4)@(4,chunk) contraction, so it rides the MXU (round 4:
     # replaces seven (pix, chunk) VPU passes).
     q = _dot3(ctmat, meta[F_R : F_INVD + 1, :], (((1,), (0,)), ((), ())))
-    cq_in = Bq + _dot_tri(w * q, tri)
+    cq_in = Bq + _cumsum_lanes(w * q, tri)
     inv_om = 1.0 / om
 
     # gl = G * d(alpha)/d(raw) * op * dL/da written in w-form:
@@ -609,7 +645,7 @@ def _backward_kernel_compact(
     chunk: int,
     t_per: int,
 ):
-    tri = _upper_tri(chunk)
+    tri = _upper_tri(min(chunk, 128))
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -756,9 +792,10 @@ def _backward_one_tile_compact(
             d0 = cstart + c * chunk
             w0 = d0 // chunk
             rot = d0 - w0 * chunk
-            # exact one-hot rotation into the two staging windows
+            # one-hot rotation into the two staging windows (16-bit split:
+            # grads keep ~2^-16 relative through the rotation, budget 3e-4)
             sel = (jj == ii + rot).astype(jnp.float32)  # (chunk, 2*chunk)
-            rotg = _dot_exact_rhs01(gblock, sel)  # (NUM_FIELDS, 2*chunk)
+            rotg = _dot_rhs01_2pass(gblock, sel)  # (NUM_FIELDS, 2*chunk)
 
             # any pending flush on either half must land before adding
             for h in (0, 1):
@@ -773,10 +810,8 @@ def _backward_one_tile_compact(
             hB = 1 - hA
             staging[hB] = staging[hB] + rotg[:, chunk:]
 
-            state_ref[:] = jnp.concatenate(
-                [T_new, Bq_new, jnp.zeros((pix, STATE_COLS - 2), jnp.float32)],
-                axis=1,
-            )
+            # partial-lane store: only the 2 live columns change per chunk
+            state_ref[:, 0:2] = jnp.concatenate([T_new, Bq_new], axis=1)
 
         # head/flush bookkeeping runs for EVERY chunk: skipped (early-out)
         # chunks emit the zeros their staging windows already contain

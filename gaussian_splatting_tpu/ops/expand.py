@@ -118,9 +118,26 @@ def _expand_kernel(
     tile_ref,  # out (1, T_PER*CHUNK) int32
     depth_ref,  # out (1, T_PER*CHUNK) f32
     g_ref,  # out (1, T_PER*CHUNK) int32
-    meta_ref,  # out (NUM_TCOLS, T_PER*CHUNK) f32
-    win_vmem,  # (2, t_per, TBL_ROWS, WINDOW) VMEM scratch
-    sems,  # (2, t_per) DMA semaphores
+    *refs,  # NUM_MROWS x (1, T_PER*CHUNK) f32 meta-row outputs + scratch:
+    #          win_vmem (2, t_per, TBL_ROWS, WINDOW) VMEM, sems (2, t_per)
+    **kw,
+):
+    _expand_kernel_impl(
+        base_ref, table_hbm, tile_ref, depth_ref, g_ref,
+        refs[:NUM_MROWS], refs[NUM_MROWS], refs[NUM_MROWS + 1], **kw
+    )
+
+
+def _expand_kernel_impl(
+    base_ref,
+    table_hbm,
+    tile_ref,
+    depth_ref,
+    g_ref,
+    meta_refs,  # tuple of NUM_MROWS (1, T_PER*CHUNK) f32 — sort operands,
+    #             written separately so no post-kernel row slicing is needed
+    win_vmem,
+    sems,
     *,
     nchunks: int,
     t_per: int,
@@ -243,15 +260,12 @@ def _expand_kernel(
             tile_ref[:, sl] = tile.astype(jnp.int32)
             depth_ref[:, sl] = depth_out
             g_ref[:, sl] = g
-            meta_rows = [rows[r : r + 1, :] for r in _META_ROWS]
-            # zero rows pad the output to 16: Mosaic rejects 9-15-row HBM
-            # blocks (see NUM_TCOLS note / tools/micro_rowslice_probe.py),
-            # and these kernels are per-chunk-overhead-bound, not
-            # byte-bound, so the padding costs ~nothing.
-            meta_rows.append(
-                jnp.zeros((NUM_TCOLS - len(_META_ROWS), CHUNK), jnp.float32)
-            )
-            meta_ref[:, sl] = jnp.concatenate(meta_rows, axis=0)
+            # one (1, cap) output per blend field: these ARE the sort's
+            # payload operands, so emitting them separately kills the
+            # 9-row post-kernel slice copies (~1.7 ms/iter at bench scale)
+            # AND the 7 zero-pad rows of the old (16, cap) block.
+            for k, r in enumerate(_META_ROWS):
+                meta_refs[k][:, sl] = rows[r : r + 1, :]
 
 
 def expand_instances(
@@ -269,7 +283,7 @@ def expand_instances(
     """Expansion-order instance records + (tile, depth) sort keys + g.
 
     Returns (tile (cap,) i32, depth (cap,) f32, g (cap,) i32,
-    meta (NUM_TCOLS, cap) f32 — rows 0..8 are F_X..F_B, rest zero pad).
+    meta_rows: tuple of NUM_MROWS (cap,) f32 in F_X..F_B order).
     """
     assert capacity % (t_per * CHUNK) == 0
     nchunks = capacity // CHUNK
@@ -284,33 +298,33 @@ def expand_instances(
         tile_w=tile_w,
         tile_h=tile_h,
     )
+    row_spec = pl.BlockSpec((1, t_per * CHUNK), lambda i, b_: (0, i))
+    row_shape = jax.ShapeDtypeStruct((1, capacity), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nprog,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=[
-            pl.BlockSpec((1, t_per * CHUNK), lambda i, b_: (0, i)),
-            pl.BlockSpec((1, t_per * CHUNK), lambda i, b_: (0, i)),
-            pl.BlockSpec((1, t_per * CHUNK), lambda i, b_: (0, i)),
-            pl.BlockSpec((NUM_TCOLS, t_per * CHUNK), lambda i, b_: (0, i)),
-        ],
+        out_specs=[row_spec, row_spec, row_spec]
+        + [row_spec] * NUM_MROWS,
         scratch_shapes=[
             pltpu.VMEM((2, t_per, TBL_ROWS, WINDOW), jnp.float32),
             pltpu.SemaphoreType.DMA((2, t_per)),
         ],
     )
-    tile, depth, g, meta = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((1, capacity), jnp.int32),
-            jax.ShapeDtypeStruct((1, capacity), jnp.float32),
+            row_shape,
             jax.ShapeDtypeStruct((1, capacity), jnp.int32),
-            jax.ShapeDtypeStruct((NUM_TCOLS, capacity), jnp.float32),
-        ],
+        ]
+        + [row_shape] * NUM_MROWS,
         interpret=interpret,
     )(chunk_bases, table_T)
-    return tile[0], depth[0], g[0], meta
+    tile, depth, g = out[0], out[1], out[2]
+    meta_rows = tuple(m[0] for m in out[3:])
+    return tile[0], depth[0], g[0], meta_rows
 
 
 # --------------------------------------------------------------------------

@@ -167,7 +167,7 @@ def build_instances(
     u = jnp.maximum(n_before - 1, 0)
     chunk_bases = (u // CHUNK) * CHUNK
 
-    tile, depth, g_exp, meta_exp = ex.expand_instances(
+    tile, depth, g_exp, meta_rows = ex.expand_instances(
         table_T,
         chunk_bases,
         capacity=cap_int,
@@ -184,7 +184,7 @@ def build_instances(
     # per-operand overhead-bound (~1.85 ms per f32 column, tools/
     # micro_sortpack.py), so packing nearly halves the payload cost.  The
     # source index is exact in f32 (cap_int < 2^24, checked above).
-    payload = tuple(meta_exp[i] for i in range(9))
+    payload = meta_rows  # 9 (cap_int,) rows straight from the expand kernel
     if grad_layout:
         srcf = jnp.arange(cap_int, dtype=jnp.float32)
         ten = payload + (srcf,)

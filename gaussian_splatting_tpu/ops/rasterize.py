@@ -185,11 +185,25 @@ def _make_render_core(grid_x, grid_y, tile_w, tile_h, chunk, capacity, interpret
     return core, core_inference
 
 
-def _untile(packed: jnp.ndarray, grid_x: int, grid_y: int, tile_w: int, tile_h: int, W: int, H: int):
-    """(num_tiles, PIX, OUT_COLS) -> per-pixel images cropped to (H, W)."""
-    cols = packed.shape[-1]
-    img = packed.reshape(grid_y, grid_x, tile_h, tile_w, cols)
-    img = img.transpose(4, 0, 2, 1, 3).reshape(cols, grid_y * tile_h, grid_x * tile_w)
+def _untile(
+    packed: jnp.ndarray,
+    grid_x: int,
+    grid_y: int,
+    tile_w: int,
+    tile_h: int,
+    W: int,
+    H: int,
+    interpret: bool = False,
+):
+    """(num_tiles, PIX, OUT_COLS) -> per-pixel images cropped to (H, W).
+
+    Rides the Pallas untile kernel (custom_vjp: the cotangent retiles via
+    the mirror kernel) — XLA's transpose for this pattern costs ~2.1 ms per
+    direction at bench scale vs ~0.2 ms in-kernel (tools/micro_untile.py)."""
+    from gaussian_splatting_tpu.ops.untile import pick_t_per, untile_pallas
+
+    t_per = pick_t_per(grid_x)
+    img = untile_pallas(packed, grid_x, grid_y, tile_w, tile_h, t_per, interpret)
     return img[:, :H, :W]
 
 
@@ -303,7 +317,7 @@ def render(
     fn = core_inference if inference else core
     packed, (overflow, num_instances) = fn(diff_fields, proj_sg)
 
-    img = _untile(packed, grid_x, grid_y, tile_w, tile_h, W, H)
+    img = _untile(packed, grid_x, grid_y, tile_w, tile_h, W, H, interpret)
     c_nobg = img[bp.O_R : bp.O_B + 1]
     T_img = img[bp.O_T]
     invd = img[bp.O_INVD]

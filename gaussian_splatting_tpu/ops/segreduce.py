@@ -41,18 +41,14 @@ MAX_ROWS = 16  # VMEM staging sanity bound; callers pass 10 real rows
 _SM_CURW, _SM_PEND0, _SM_PEND1, _SM_WIN0, _SM_WIN1 = range(5)
 
 
-def _split3(x):
+def _dot_rhs01(x, onehot):
+    """x @ onehot for 0/1 ``onehot``: 2-pass hi+mid bf16 split (16 mantissa
+    bits, ~2^-16 relative — the grad budget is 3e-4).  Zero columns stay
+    EXACTLY zero (0 splits to 0+0), which is the property Adam needs."""
     hi = x.astype(jnp.bfloat16).astype(jnp.float32)
-    r1 = x - hi
-    mid = r1.astype(jnp.bfloat16).astype(jnp.float32)
-    lo = r1 - mid
-    return hi, mid, lo
-
-
-def _dot_exact_rhs01(x, onehot):
-    hi, mid, lo = _split3(x)
+    mid = x - hi
     d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
-    return d(hi, onehot) + d(mid, onehot) + d(lo, onehot)
+    return d(hi, onehot) + d(mid, onehot)
 
 
 def _segreduce_kernel(
@@ -113,7 +109,7 @@ def _segreduce_kernel(
             # onehot[i, j] = 1 where slot i's Gaussian lands at window pos j
             rel = g[:, None] - w0 * CHUNK  # (CHUNK, 1), in [0, 256)
             sel = (jj == rel).astype(jnp.float32)  # (CHUNK, 2*CHUNK)
-            contrib = _dot_exact_rhs01(gblock, sel)  # (ROWS, 2*CHUNK)
+            contrib = _dot_rhs01(gblock, sel)  # (ROWS, 2*CHUNK)
 
             # any pending flush on either half must land before adding
             for h in (0, 1):

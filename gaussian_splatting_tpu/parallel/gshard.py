@@ -194,7 +194,7 @@ def _stripe_from_records(flat, *, d, n, grid_x, grid_y_local, tile_w, tile_h,
     packed, (ovf, ninst) = fn(diff_fields, pseudo)
     img = _untile(
         packed, grid_x, grid_y_local, tile_w, tile_h,
-        grid_x * tile_w, grid_y_local * tile_h,
+        grid_x * tile_w, grid_y_local * tile_h, interpret,
     )
     c_nobg = img[bp.O_R : bp.O_B + 1]
     T_img = img[bp.O_T]

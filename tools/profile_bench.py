@@ -44,6 +44,9 @@ def loss_fn(means3d, scales, quats, opacities, sh):
 
 args = (scene.means3d, scene.scales, scene.quats, scene.opacities, scene.sh)
 step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)))
+# dump the optimized HLO so trace op names (copy.N/fusion.N) can be resolved
+with open("/tmp/bench_hlo.txt", "w") as f:
+    f.write(step.lower(*args).compile().as_text())
 g = step(*args)
 print("warm:", float(jax.tree_util.tree_leaves(g)[0].ravel()[0]))
 
