@@ -6,10 +6,12 @@ TPU-native redesign of the reference's ``renderCUDA`` forward
 - Grid = one program per group of ``t_per`` 16x16 tiles (TPU grids run
   sequentially with DMA pipelining, so per-tile dynamic trip counts give
   total-work scaling, unlike a vmapped max-padded loop).
-- Instances are consumed 128 at a time (the lane dimension) from a
-  field-major (NUM_FIELDS, capacity) record array in HBM, double-buffered
-  into VMEM with explicit async copies.  The binning stage lays instances out
-  *chunk-aligned* per tile so every DMA offset is provably 128-aligned.
+- Instances are consumed ``chunk`` lanes at a time from the field-major
+  (NUM_FIELDS, cap) SORTED COMPACT record array in HBM, double-buffered into
+  VMEM with explicit async copies.  Tile ranges are gapless; each DMA reads
+  the chunk-aligned window below the tile's start (provably 128-aligned)
+  and the head lanes — the previous tile's instances — are masked to exact
+  no-ops (round 4; replaces the round-2/3 aligned relayout kernel).
 - The per-pixel sequential front-to-back compositing is vectorized across a
   (256 pixels, 128 instances) block: transmittance uses an exclusive prefix
   product computed as exp of an MXU prefix-sum of logs (both directions —
@@ -170,7 +172,7 @@ def _tile_pixel_coords(tile_id, grid_x: int, tile_w: int, tile_h: int):
     return px, py
 
 
-def _chunk_alpha(meta, px, py, n_in_chunk, chunk, *, want_grad_terms=False):
+def _chunk_alpha(meta, px, py, n_in_chunk, chunk, *, lo=0, want_grad_terms=False):
     """Per-(pixel, instance) alpha for one chunk.
 
     meta: (NUM_FIELDS, chunk) VMEM slab; px/py: (PIX, 1).
@@ -178,9 +180,14 @@ def _chunk_alpha(meta, px, py, n_in_chunk, chunk, *, want_grad_terms=False):
     not eligible.  Skip semantics match forward.cu:462-476.  The forward
     pass sets want_grad_terms=False: not_capped/G are backward-only and
     their passes are skipped (G's exp result still feeds alpha either way).
+
+    ``lo`` masks HEAD lanes (compact-stream reads start at the 128-aligned
+    window below the tile's first instance; lanes < lo belong to the
+    previous tile): they become non-eligible, so they contribute an exact 0
+    to every log/weight sum downstream — invisible to this tile's math.
     """
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-    in_range = lane < n_in_chunk  # (1, chunk)
+    in_range = (lane >= lo) & (lane < n_in_chunk)  # (1, chunk)
 
     x = meta[F_X, :][None, :]
     y = meta[F_Y, :][None, :]
@@ -259,11 +266,20 @@ def _forward_one_tile(
     tri, lane8, *, grid_x, tile_w, tile_h, chunk,
 ):
     pix = tile_w * tile_h
-    # tile ranges are chunk-aligned by construction (binning relayout); the
-    # hint lets Mosaic prove the DMA lane offsets are 128-divisible.
-    start = pl.multiple_of(starts_ref[tile_id], chunk)
+    # COMPACT reads (round 4): tile ranges are arbitrary positions in the
+    # sorted stream; DMA from the chunk-aligned window below the start and
+    # mask the head lanes (the hint lets Mosaic prove the DMA lane offsets
+    # are 128-divisible).  This removed the aligned-relayout kernel + its
+    # chunk-map glue (~10 ms/iter at bench scale) for ~zero extra chunks.
+    start = starts_ref[tile_id]
     end = ends_ref[tile_id]
-    nchunks = pl.cdiv(end - start, chunk)
+    # Window base at 128 (the DMA alignment unit), NOT at ``chunk``: with
+    # chunk=256 this halves the expected head (E[head] 128 -> 64), i.e.
+    # ~0.25 fewer chunks per tile, and 128-aligned offsets are all Mosaic
+    # requires for the (16, chunk) window copies.
+    w0 = pl.multiple_of((start // 128) * 128, 128)
+    head = start - w0
+    nchunks = jnp.where(end > start, pl.cdiv(end - w0, chunk), 0)
 
     px, py = _tile_pixel_coords(tile_id, grid_x, tile_w, tile_h)
 
@@ -272,7 +288,7 @@ def _forward_one_tile(
 
     def chunk_dma(slot, c):
         return pltpu.make_async_copy(
-            meta_hbm.at[:, pl.ds(start + c * chunk, chunk)],
+            meta_hbm.at[:, pl.ds(w0 + c * chunk, chunk)],
             meta_vmem.at[slot],
             sems.at[slot],
         )
@@ -296,9 +312,9 @@ def _forward_one_tile(
         T = _col(st, O_T)
         done = _col(st, O_DONE) > 0.0
 
-        n_in_chunk = end - start - c * chunk
+        n_in_chunk = end - w0 - c * chunk
         alpha, eligible, _ncap, _G = _chunk_alpha(
-            meta, px, py, n_in_chunk, chunk
+            meta, px, py, n_in_chunk, chunk, lo=head - c * chunk
         )
 
         om = 1.0 - alpha
@@ -355,9 +371,10 @@ def _forward_one_tile(
         )
         T_new = jnp.where(done, T, jnp.minimum(T, m_ok))
 
-        # last contributor position (1-based within the tile range)
+        # last contributor position (1-based within the tile range; head
+        # lanes are never contrib so their negative pos never enters the max)
         lane = jax.lax.broadcasted_iota(jnp.int32, (pix, chunk), 1)
-        pos = (c * chunk + lane + 1).astype(jnp.float32)
+        pos = (c * chunk + lane + 1 - head).astype(jnp.float32)
         nc_new = jnp.maximum(
             _col(st, O_NCONTRIB),
             jnp.max(jnp.where(contrib, pos, 0.0), axis=1, keepdims=True),
@@ -395,8 +412,8 @@ def _forward_one_tile(
 
 
 def blend_forward_pallas(
-    meta: jnp.ndarray,  # (NUM_FIELDS, cap_padded) field-major instance records
-    tile_starts: jnp.ndarray,  # (num_tiles,) — multiples of chunk
+    meta: jnp.ndarray,  # (NUM_FIELDS, cap_int) sorted COMPACT instance records
+    tile_starts: jnp.ndarray,  # (num_tiles,) compact (gapless) starts
     tile_ends: jnp.ndarray,  # (num_tiles,) — start + true count
     *,
     grid_x: int,
@@ -413,7 +430,10 @@ def blend_forward_pallas(
     nprog = -(-num_tiles // t_per)
     pad = nprog * t_per - num_tiles
     starts = jnp.pad(tile_starts.astype(jnp.int32), (0, pad))
-    ends = jnp.pad(tile_ends.astype(jnp.int32), (0, pad))
+    # Clamp so the last chunk's window DMA stays inside meta; binds only on
+    # overflow steps (whose output is discarded/retried by callers).
+    ends = jnp.minimum(tile_ends.astype(jnp.int32), meta.shape[1] - chunk)
+    ends = jnp.pad(ends, (0, pad))
     kernel = functools.partial(
         _forward_kernel, grid_x=grid_x, num_tiles=num_tiles, tile_w=tile_w,
         tile_h=tile_h, chunk=chunk, t_per=t_per,
@@ -439,36 +459,6 @@ def blend_forward_pallas(
     return out[:num_tiles]
 
 
-def _split3(x):
-    """Exact 3-way bf16 split: x == hi + mid + lo (24 mantissa bits)."""
-    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
-    r1 = x - hi
-    mid = r1.astype(jnp.bfloat16).astype(jnp.float32)
-    lo = r1 - mid
-    return hi, mid, lo
-
-
-def _dot_exact_rhs01(x, onehot):
-    """x @ onehot, exact when onehot is 0/1: 3 default-precision MXU passes.
-
-    Exactness matters twice here: zero columns stay EXACTLY zero (Adam turns
-    gradient dust into full steps), and nonzero grads keep all 24 mantissa
-    bits through the staging rotation."""
-    hi, mid, lo = _split3(x)
-    d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
-    return d(hi, onehot) + d(mid, onehot) + d(lo, onehot)
-
-
-def _dot_rhs01_2pass(x, onehot):
-    """x @ onehot for 0/1 ``onehot``, hi+mid split only (16 mantissa bits,
-    ~2^-16 relative — the per-instance grad budget is 3e-4).  Zero columns
-    still stay EXACTLY zero: 0 splits to 0 + 0."""
-    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
-    mid = x - hi
-    d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
-    return d(hi, onehot) + d(mid, onehot)
-
-
 # --------------------------------------------------------------------------
 # Backward
 # --------------------------------------------------------------------------
@@ -476,7 +466,7 @@ def _dot_rhs01_2pass(x, onehot):
 
 def _bwd_chunk_math(
     meta, c, n_in_chunk, T, Bq, px, py, ox, oy, Pmat, tri,
-    Ctot_q, ctmat, n_contrib, chunk, pix,
+    Ctot_q, ctmat, n_contrib, chunk, pix, head=0,
 ):
     """Per-chunk backward-replay math shared by the aligned- and compact-
     output kernels.  Returns (gblock (16, chunk), T_new, Bq_new).
@@ -488,11 +478,14 @@ def _bwd_chunk_math(
     the per-tile (pix, 4) cotangent block [dC_r|dC_g|dC_b|dinvd].
     """
     alpha, eligible, not_capped, G = _chunk_alpha(
-        meta, px, py, n_in_chunk, chunk, want_grad_terms=True
+        meta, px, py, n_in_chunk, chunk, lo=head - c * chunk,
+        want_grad_terms=True,
     )
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (pix, chunk), 1)
-    pos = (c * chunk + lane).astype(jnp.float32)  # 0-based position
+    # 0-based tile-relative position (head lanes go negative but are never
+    # eligible, so they cannot enter contrib)
+    pos = (c * chunk + lane - head).astype(jnp.float32)
     contrib = eligible & (pos < n_contrib)
     a = jnp.where(contrib, alpha, 0.0)
 
@@ -602,31 +595,27 @@ def _bwd_chunk_math(
 
 
 # --------------------------------------------------------------------------
-# Backward with COMPACT gradient output (round-2 path)
+# Backward: COMPACT reads AND compact gradient output (round-4 path)
 # --------------------------------------------------------------------------
 #
-# The aligned layout the kernels READ has per-tile padding gaps; writing
-# gradients back in that layout forces the VJP to permute them with a random
-# lane gather (~35 ms/iter at bench scale).  Instead this variant streams
-# gradients out COMPACTLY (tile ranges butted together, matching the sorted
-# order), so the VJP reorders them with a cheap payload sort.  Because
-# Mosaic only allows 128-aligned dynamic DMA offsets and compact tile starts
-# are arbitrary, a rolling two-half staging buffer accumulates rotated
-# gradient blocks and flushes full 128-lane windows:
-#
-#   staging half h <-> compact window w (w % 2 == h)
-#   per chunk: rotate (16,128) grads by (dest % 128) via an exact one-hot
-#   matmul into (16,256), add both halves, flush window w when the stream
-#   head passes it.  Sequential grid => no write races; in-flight flushes
-#   are awaited before their half is touched again.
+# The kernel reads the sorted compact stream directly (chunk-aligned window
+# DMAs with head-masked lanes, same as the forward) and streams per-instance
+# gradients out COMPACTLY, so the VJP reorders them with a cheap payload
+# sort.  Because each chunk's lanes sit exactly on one 128-aligned window of
+# the compact stream, gradient blocks land on their output window with NO
+# rotation (round 3 rotated by (dest % 128) via a one-hot matmul — compact
+# reads made the windows line up by construction).  A rolling two-half
+# staging buffer accumulates window adds — adjacent tiles SHARE boundary
+# windows, the add makes the seam exact — and flushes a window once the
+# stream head passes it.  Sequential grid => no write races; in-flight
+# flushes are awaited before their half is touched again.
 
 _SM_CURW, _SM_PEND0, _SM_PEND1, _SM_WIN0, _SM_WIN1 = range(5)
 
 
 def _backward_kernel_compact(
-    starts_ref,  # aligned tile starts (scalar prefetch)
-    ends_ref,  # aligned tile ends
-    cstarts_ref,  # COMPACT tile starts
+    starts_ref,  # COMPACT tile starts (scalar prefetch)
+    ends_ref,  # compact tile ends (start + true count)
     meta_hbm,
     fwd_ref,
     ct_ref,
@@ -667,7 +656,7 @@ def _backward_kernel_compact(
         @pl.when(tile_id < num_tiles)
         def _():
             _backward_one_tile_compact(
-                tile_id, t, starts_ref, ends_ref, cstarts_ref, meta_hbm,
+                tile_id, t, starts_ref, ends_ref, meta_hbm,
                 fwd_ref, ct_ref, state_ref, meta_vmem, staging, in_sems,
                 flush_sems, sm, flush_copy, tri,
                 grid_x=grid_x, tile_w=tile_w, tile_h=tile_h, chunk=chunk,
@@ -695,14 +684,15 @@ def _backward_kernel_compact(
 
 
 def _backward_one_tile_compact(
-    tile_id, t, starts_ref, ends_ref, cstarts_ref, meta_hbm, fwd_ref, ct_ref,
+    tile_id, t, starts_ref, ends_ref, meta_hbm, fwd_ref, ct_ref,
     state_ref, meta_vmem, staging, in_sems, flush_sems, sm, flush_copy, tri,
     *, grid_x, tile_w, tile_h, chunk,
 ):
     pix = tile_w * tile_h
-    start = pl.multiple_of(starts_ref[tile_id], chunk)
+    start = starts_ref[tile_id]
     end = ends_ref[tile_id]
-    cstart = cstarts_ref[tile_id]
+    w0 = pl.multiple_of((start // chunk) * chunk, chunk)
+    head = start - w0
 
     px, py = _tile_pixel_coords(tile_id, grid_x, tile_w, tile_h)
     ox = ((tile_id % grid_x) * tile_w).astype(jnp.float32)
@@ -737,20 +727,21 @@ def _backward_one_tile_compact(
         + T_final * ct_T
     )
 
-    nchunks = pl.cdiv(end - start, chunk)
+    nchunks = jnp.where(end > start, pl.cdiv(end - w0, chunk), 0)
     # Early-out: instances past the LAST contributor of any pixel (the
     # forward's early-stop, forward.cu:477-482) provably get zero gradients
     # (contrib == False everywhere) — skip their math and let the staging
-    # stream flush the zeros it already holds.
+    # stream flush the zeros it already holds.  n_contrib is tile-relative;
+    # +head converts to stream-window chunks.
     max_nc = jnp.max(n_contrib).astype(jnp.int32)
-    active_chunks = jnp.minimum(nchunks, pl.cdiv(max_nc, chunk))
+    active_chunks = jnp.minimum(nchunks, pl.cdiv(max_nc + head, chunk))
 
     lane_s = jax.lax.broadcasted_iota(jnp.int32, (pix, STATE_COLS), 1)
     state_ref[:] = jnp.where(lane_s == S_T, 1.0, 0.0)
 
     def in_dma(slot, c):
         return pltpu.make_async_copy(
-            meta_hbm.at[:, pl.ds(start + c * chunk, chunk)],
+            meta_hbm.at[:, pl.ds(w0 + c * chunk, chunk)],
             meta_vmem.at[slot],
             in_sems.at[slot],
         )
@@ -760,11 +751,9 @@ def _backward_one_tile_compact(
         in_dma(0, 0).start()
 
     lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-    ii = jax.lax.broadcasted_iota(jnp.int32, (chunk, 2 * chunk), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (chunk, 2 * chunk), 1)
 
     def body(c, _):
-        n_in_chunk = end - start - c * chunk
+        n_in_chunk = end - w0 - c * chunk
 
         @pl.when(c < active_chunks)
         def _():
@@ -783,42 +772,42 @@ def _backward_one_tile_compact(
             meta = meta_vmem[slot]
             gblock, T_new, Bq_new = _bwd_chunk_math(
                 meta, c, n_in_chunk, T, Bq, px, py, ox, oy, Pmat, tri,
-                Ctot_q, ctmat, n_contrib, chunk, pix,
+                Ctot_q, ctmat, n_contrib, chunk, pix, head=head,
             )
-            # lanes past the tile's true count are aligned-layout padding:
-            # they have no compact destination; zero them before staging
-            gblock = jnp.where(lane_row < n_in_chunk, gblock, 0.0)
+            # head lanes belong to the PREVIOUS tile (it already emitted
+            # them); tail lanes past the tile's count belong to the NEXT.
+            # Zero both so this tile's staging add is a no-op there.
+            gblock = jnp.where(
+                (lane_row >= head - c * chunk) & (lane_row < n_in_chunk),
+                gblock,
+                0.0,
+            )
 
-            d0 = cstart + c * chunk
-            w0 = d0 // chunk
-            rot = d0 - w0 * chunk
-            # one-hot rotation into the two staging windows (16-bit split:
-            # grads keep ~2^-16 relative through the rotation, budget 3e-4)
-            sel = (jj == ii + rot).astype(jnp.float32)  # (chunk, 2*chunk)
-            rotg = _dot_rhs01_2pass(gblock, sel)  # (NUM_FIELDS, 2*chunk)
+            # This chunk IS stream window (w0//chunk + c): no rotation —
+            # add straight into the matching staging half (after any
+            # pending flush of that half lands).
+            wi = w0 // chunk + c
+            h = jax.lax.rem(wi, 2)
 
-            # any pending flush on either half must land before adding
-            for h in (0, 1):
-                @pl.when(sm[_SM_PEND0 + h] == 1)
-                def _():
-                    flush_copy(h, sm[_SM_WIN0 + h]).wait()
-                    staging[h] = jnp.zeros_like(staging[h])
-                    sm[_SM_PEND0 + h] = 0
+            @pl.when(sm[_SM_PEND0 + h] == 1)
+            def _():
+                flush_copy(h, sm[_SM_WIN0 + h]).wait()
+                staging[h] = jnp.zeros_like(staging[h])
+                sm[_SM_PEND0 + h] = 0
 
-            hA = jax.lax.rem(w0, 2)
-            staging[hA] = staging[hA] + rotg[:, :chunk]
-            hB = 1 - hA
-            staging[hB] = staging[hB] + rotg[:, chunk:]
+            staging[h] = staging[h] + gblock
 
             # partial-lane store: only the 2 live columns change per chunk
             state_ref[:, 0:2] = jnp.concatenate([T_new, Bq_new], axis=1)
 
-        # head/flush bookkeeping runs for EVERY chunk: skipped (early-out)
-        # chunks emit the zeros their staging windows already contain
-        head = cstart + c * chunk + jnp.minimum(chunk, n_in_chunk)
+        # stream-head/flush bookkeeping runs for EVERY chunk: skipped
+        # (early-out) chunks emit the zeros their staging windows already
+        # contain.  Clamping to ``end`` keeps the boundary window open for
+        # the next tile's head lanes.
+        pos_done = jnp.minimum(w0 + (c + 1) * chunk, end)
         cur_w = sm[_SM_CURW]
 
-        @pl.when(head // chunk > cur_w)
+        @pl.when(pos_done // chunk > cur_w)
         def _():
             h = jax.lax.rem(cur_w, 2)
 
@@ -839,10 +828,9 @@ def _backward_one_tile_compact(
 
 
 def blend_backward_compact_pallas(
-    meta: jnp.ndarray,  # (NUM_FIELDS, cap_aligned + chunk) aligned records
-    tile_starts: jnp.ndarray,  # aligned starts (multiples of chunk)
-    tile_ends: jnp.ndarray,
-    compact_starts: jnp.ndarray,  # (num_tiles,) compact start per tile
+    meta: jnp.ndarray,  # (NUM_FIELDS, cap_int) sorted COMPACT records
+    tile_starts: jnp.ndarray,  # (num_tiles,) compact (gapless) starts
+    tile_ends: jnp.ndarray,  # (num_tiles,) start + true count
     fwd_packed: jnp.ndarray,
     ct_packed: jnp.ndarray,
     *,
@@ -863,8 +851,9 @@ def blend_backward_compact_pallas(
     nprog = -(-num_tiles // t_per)
     pad = nprog * t_per - num_tiles
     starts = jnp.pad(tile_starts.astype(jnp.int32), (0, pad))
-    ends = jnp.pad(tile_ends.astype(jnp.int32), (0, pad))
-    cstarts = jnp.pad(compact_starts.astype(jnp.int32), (0, pad))
+    # window-DMA tail clamp (binds only on discarded overflow steps)
+    ends = jnp.minimum(tile_ends.astype(jnp.int32), meta.shape[1] - chunk)
+    ends = jnp.pad(ends, (0, pad))
     fwd_p = jnp.pad(fwd_packed, ((0, pad), (0, 0), (0, 0)))
     ct_p = jnp.pad(ct_packed, ((0, pad), (0, 0), (0, 0)))
     kernel = functools.partial(
@@ -872,12 +861,12 @@ def blend_backward_compact_pallas(
         tile_w=tile_w, tile_h=tile_h, chunk=chunk, t_per=t_per,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(nprog,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((t_per, pix, OUT_COLS), lambda i, s_, e_, c_: (i, 0, 0)),
-            pl.BlockSpec((t_per, pix, CT_COLS), lambda i, s_, e_, c_: (i, 0, 0)),
+            pl.BlockSpec((t_per, pix, OUT_COLS), lambda i, s_, e_: (i, 0, 0)),
+            pl.BlockSpec((t_per, pix, CT_COLS), lambda i, s_, e_: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
@@ -897,4 +886,4 @@ def blend_backward_compact_pallas(
         ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(starts, ends, cstarts, meta, fwd_p, ct_p)
+    )(starts, ends, meta, fwd_p, ct_p)

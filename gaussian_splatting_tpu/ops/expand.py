@@ -325,104 +325,3 @@ def expand_instances(
     tile, depth, g = out[0], out[1], out[2]
     meta_rows = tuple(m[0] for m in out[3:])
     return tile[0], depth[0], g[0], meta_rows
-
-
-# --------------------------------------------------------------------------
-# Alignment kernel: compact sorted stream -> chunk-aligned tile layout
-# --------------------------------------------------------------------------
-
-
-def _align_kernel(
-    src_ref,  # (n_out_chunks,) int32 scalar prefetch: compact src start/chunk
-    meta_hbm,  # (rows, cap_padded) compact sorted records
-    out_ref,  # (rows, T_PER*CHUNK) aligned output block
-    win_vmem,  # (2, t_per, rows, WINDOW)
-    sems,  # (2, t_per)
-    *,
-    n_out_chunks: int,
-    t_per: int,
-):
-    """t_per output chunks per grid step (DMA latency + step cost amortize)."""
-    p = pl.program_id(0)
-
-    def win_dma(buf, t, kk):
-        base = pl.multiple_of((src_ref[kk] // CHUNK) * CHUNK, CHUNK)
-        return pltpu.make_async_copy(
-            meta_hbm.at[:, pl.ds(base, WINDOW)],
-            win_vmem.at[buf, t],
-            sems.at[buf, t],
-        )
-
-    def start_group(buf, grp):
-        for t in range(t_per):
-            k = grp * t_per + t
-
-            @pl.when(k < n_out_chunks)
-            def _():
-                win_dma(buf, t, k).start()
-
-    @pl.when(p == 0)
-    def _():
-        start_group(0, 0)
-
-    @pl.when(p + 1 < pl.num_programs(0))
-    def _():
-        start_group(jax.lax.rem(p + 1, 2), p + 1)
-
-    buf = jax.lax.rem(p, 2)
-    j = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, CHUNK), 0)
-    i = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, CHUNK), 1)
-    for t in range(t_per):
-        k = p * t_per + t
-
-        @pl.when(k < n_out_chunks)
-        def _():
-            win_dma(buf, t, k).wait()
-            win = win_vmem[buf, t]  # (TBL_ROWS, WINDOW)
-
-            r = src_ref[k] - (src_ref[k] // CHUNK) * CHUNK  # in [0, CHUNK)
-            # out[:, i] = win[:, r + i]: one-hot selector, exact bf16 matmul
-            sel = (j == i + r).astype(jnp.float32)  # (WINDOW, CHUNK)
-            out_ref[:, t * CHUNK : (t + 1) * CHUNK] = _dot_exact_rhs01(win, sel)
-
-
-def align_instances(
-    meta_compact: jnp.ndarray,  # (rows, capacity + WINDOW pad)
-    src_starts: jnp.ndarray,  # (n_out_chunks,) compact offset per aligned chunk
-    *,
-    cap_aligned: int,
-    t_per: int = 8,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Relayout the compact sorted stream so every tile's range starts at a
-    multiple of CHUNK (the blend kernels' provably-aligned DMA requirement —
-    Mosaic rejects unaligned dynamic lane offsets).  Each output chunk is a
-    contiguous 128-slice of the input at an arbitrary offset, realized as an
-    aligned 256-window fetch + an exact one-hot lane rotation on the MXU.
-    """
-    assert cap_aligned % (t_per * CHUNK) == 0
-    rows = meta_compact.shape[0]
-    n_out_chunks = cap_aligned // CHUNK
-    assert src_starts.shape[0] == n_out_chunks
-    nprog = n_out_chunks // t_per
-    kernel = functools.partial(
-        _align_kernel, n_out_chunks=n_out_chunks, t_per=t_per
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nprog,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=pl.BlockSpec(
-            (rows, t_per * CHUNK), lambda p, s_: (0, p)
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, t_per, rows, WINDOW), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, t_per)),
-        ],
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((rows, cap_aligned), jnp.float32),
-        interpret=interpret,
-    )(src_starts, meta_compact)

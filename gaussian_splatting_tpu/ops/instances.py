@@ -12,10 +12,10 @@ data movement rides the sort:
   2. One 13-operand ``lax.sort`` carries the 10 blend fields + source index
      with the keys (~25 ms), replacing the post-sort random row gather
      (~21 ms) AND the separate 4-op key sort (~15 ms).
-  3. ``align_instances`` (Pallas): the compact sorted stream is re-laid to
-     chunk-aligned tile ranges with an exact one-hot lane rotation
-     (Mosaic rejects unaligned dynamic lane-offset DMAs, so the blend
-     kernels require 128-aligned tile starts).
+  3. (round 4) The blend kernels read the sorted COMPACT stream directly —
+     chunk-aligned window DMAs below each tile's start with head-masked
+     lanes — so no aligned relayout exists anymore (the round-2/3 Pallas
+     align kernel + its chunk-map glue cost ~10 ms/iter at bench scale).
 
 Sentinels: every Gaussian emits >= 1 instance (zero-tile Gaussians get one
 dropped sentinel with tile == num_tiles) so the expansion window stays
@@ -41,12 +41,11 @@ MAX_CAPACITY = 1 << 24  # f32-exact integer range
 
 
 class InstanceLayout(NamedTuple):
-    """Sorted, chunk-aligned instance records + everything the VJP needs."""
+    """Sorted compact instance records + everything the VJP needs."""
 
-    meta_aligned: jnp.ndarray  # (16, cap_aligned) blend-kernel records
-    tile_starts: jnp.ndarray  # (num_tiles,) int32, multiples of CHUNK
+    meta_sorted: jnp.ndarray  # (16, cap_int) compact blend-kernel records
+    tile_starts: jnp.ndarray  # (num_tiles,) int32 compact (gapless) starts
     tile_ends: jnp.ndarray  # (num_tiles,) int32 = start + true count
-    starts_compact: jnp.ndarray  # (num_tiles,) int32 compact (gapless) starts
     n_valid: jnp.ndarray  # () int32 — compact stream length (non-sentinel)
     sorted_src: jnp.ndarray  # (capacity,) int32 expansion slot per sorted pos
     g_exp: jnp.ndarray  # (capacity,) int32 owning Gaussian per expansion slot
@@ -77,22 +76,14 @@ def build_instances(
     tile_h: int,
     grad_layout: bool = True,
     interpret: bool = False,
-    align_chunk: int = CHUNK,
 ) -> InstanceLayout:
     """proj supplies the non-differentiable binning geometry (callers pass
     stop_gradient-ed projections); diff_fields carries the blend records the
-    custom VJP differentiates through.
-
-    ``align_chunk`` is the BLEND kernels' lane-chunk (a multiple of the
-    128-lane expansion CHUNK): tile ranges in the aligned layout start at
-    align_chunk multiples so the blend's per-chunk fixed costs (DMA issue,
-    state read-modify-write, loop bookkeeping — measured ~2/3 of the
-    forward kernel at chunk=128, tools/micro_blend_floor.py) amortize over
-    bigger chunks, at the price of more padding lanes per tile."""
+    custom VJP differentiates through.  Tile ranges are COMPACT: the blend
+    kernels DMA the 128-aligned window below each start and head-mask."""
     if capacity >= MAX_CAPACITY:
         raise ValueError(f"instance capacity {capacity} exceeds f32-exact range")
     assert capacity % CHUNK == 0
-    assert align_chunk % CHUNK == 0
     P = proj.tiles_touched.shape[0]
     num_tiles = grid_x * grid_y
 
@@ -224,45 +215,15 @@ def build_instances(
     starts_t = starts_ext[:num_tiles]
     counts_t = starts_ext[1:] - starts_t
 
-    aligned_counts = (
-        (counts_t + align_chunk - 1) // align_chunk
-    ) * align_chunk
-    aligned_starts = (jnp.cumsum(aligned_counts) - aligned_counts).astype(jnp.int32)
-    # + align_chunk of tail slack for the blend kernels' last-chunk
-    # prefetch, rounded to the align kernel's grid granularity (no pad copy
-    # after).  gran is a multiple of align_chunk for align_chunk <= 1024.
-    cap_aligned = (
-        -(-(aligned_capacity(capacity, num_tiles, align_chunk) + align_chunk)
-          // gran) * gran
-    )
-
-    # ---- compact sorted meta -> aligned relayout (Pallas rotate kernel) ----
+    # ---- compact sorted meta: the blend kernels read this DIRECTLY ----
     # Rows 0..9 are F_X..F_INVD; rows 10..15 zero padding (Mosaic DMAs only
-    # 8- or 16-row HBM windows, and these kernels are per-chunk-overhead
-    # bound, so the pad rows cost ~nothing — tools/micro_rowslice_probe.py).
-    # cap_int >= capacity + WINDOW, so the align kernel's 256-wide window
-    # fetches stay in bounds without a pad copy.
+    # 8- or 16-row HBM windows, and the blend is per-chunk-overhead bound,
+    # so the pad rows cost ~nothing — tools/micro_rowslice_probe.py).
+    # cap_int >= capacity + WINDOW, so the last window DMA past a tile end
+    # stays in bounds (kernels also clamp ends to cap_int - chunk).
     zeros_rows = jnp.zeros((ex.NUM_TCOLS - 10, cap_int), jnp.float32)
-    meta_compact = jnp.concatenate(
+    meta_sorted = jnp.concatenate(
         [jnp.stack(sorted_fields + (sorted_invd,), axis=0), zeros_rows], axis=0
-    )
-
-    # aligned chunk -> owning tile (monotone marks+cumsum), -> compact src
-    n_ach = cap_aligned // CHUNK
-    marks = (
-        jnp.zeros((n_ach,), jnp.int32)
-        .at[jnp.minimum(aligned_starts // CHUNK, n_ach - 1)]
-        .add(1, mode="drop")
-    )
-    t_of_chunk = jnp.cumsum(marks) - 1  # (n_ach,)
-    k128 = jnp.arange(n_ach, dtype=jnp.int32) * CHUNK
-    src_starts = (
-        starts_t[t_of_chunk] + (k128 - aligned_starts[t_of_chunk])
-    )
-    src_starts = jnp.clip(src_starts, 0, capacity)
-
-    meta_aligned = ex.align_instances(
-        meta_compact, src_starts, cap_aligned=cap_aligned, interpret=interpret
     )
 
     # ---- gradient-layout bookkeeping ----
@@ -283,10 +244,9 @@ def build_instances(
     nonempty = touched & (seg_ends > seg_starts)
 
     return InstanceLayout(
-        meta_aligned=meta_aligned,
-        tile_starts=aligned_starts,
-        tile_ends=aligned_starts + counts_t,
-        starts_compact=starts_t,
+        meta_sorted=meta_sorted,
+        tile_starts=starts_t,
+        tile_ends=starts_t + counts_t,
         n_valid=starts_ext[num_tiles],
         sorted_src=sorted_src,
         g_exp=g_exp,
@@ -296,9 +256,3 @@ def build_instances(
         num_instances=jnp.minimum(total_sent, capacity).astype(jnp.int32),
         overflow=overflow,
     )
-
-
-def aligned_capacity(
-    capacity: int, num_tiles: int, align_chunk: int = CHUNK
-) -> int:
-    return capacity + num_tiles * align_chunk

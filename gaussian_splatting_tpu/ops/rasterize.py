@@ -64,8 +64,9 @@ def _make_render_core(grid_x, grid_y, tile_w, tile_h, chunk, capacity, interpret
     """Round-2 fused rasterize core (custom_vjp spanning the whole
     instance pipeline + blend kernels).
 
-    Forward: ops/instances.build_instances (Pallas expand -> 13-operand
-    payload sort -> Pallas aligned relayout) + the Pallas blend.
+    Forward: ops/instances.build_instances (Pallas expand -> packed payload
+    sort; the blend reads the sorted compact stream directly) + the Pallas
+    blend.
     Backward: blend backward kernel -> per-instance grads reordered to
     expansion order -> sequential segmented scan -> per-Gaussian field grads
     (the atomicAdd-free replacement of backward.cu:592-609).
@@ -77,9 +78,8 @@ def _make_render_core(grid_x, grid_y, tile_w, tile_h, chunk, capacity, interpret
     # Asymmetric lane-chunks: the forward is per-chunk-fixed-cost bound
     # (bigger chunks pay, tools/micro_blend_floor.py) while the backward's
     # per-lane gradient math dominates (bigger chunks LOSE — measured
-    # 29.8 -> 30.8 ms at 256).  Tile starts are aligned to the larger
-    # forward chunk, which is also 128-aligned, so the backward can read
-    # 128-lane chunks from the same layout.
+    # 29.8 -> 30.8 ms at 256).  Both read the compact stream through
+    # 128-aligned window DMAs, so the chunk sizes are independent.
     kw_bwd = dict(kw, chunk=min(chunk, 128))
 
     def _forward(diff_fields, proj_sg, grad_layout):
@@ -93,10 +93,9 @@ def _make_render_core(grid_x, grid_y, tile_w, tile_h, chunk, capacity, interpret
             tile_h=tile_h,
             grad_layout=grad_layout,
             interpret=interpret,
-            align_chunk=chunk,
         )
         packed = bp.blend_forward_pallas(
-            layout.meta_aligned, layout.tile_starts, layout.tile_ends, **kw
+            layout.meta_sorted, layout.tile_starts, layout.tile_ends, **kw
         )
         return packed, layout
 
@@ -114,10 +113,9 @@ def _make_render_core(grid_x, grid_y, tile_w, tile_h, chunk, capacity, interpret
     def core_fwd(diff_fields, proj_sg):
         packed, layout = _forward(diff_fields, proj_sg, True)
         res = (
-            layout.meta_aligned,
+            layout.meta_sorted,
             layout.tile_starts,
             layout.tile_ends,
-            layout.starts_compact,
             layout.n_valid,
             layout.sorted_src,
             layout.g_exp,
@@ -130,14 +128,14 @@ def _make_render_core(grid_x, grid_y, tile_w, tile_h, chunk, capacity, interpret
     def core_bwd(res, ct):
         from gaussian_splatting_tpu.ops.segreduce import segment_reduce_rows
 
-        (meta, starts, ends, cstarts, n_valid, sorted_src, g_exp,
+        (meta, starts, ends, n_valid, sorted_src, g_exp,
          packed, proj_zeros) = res
         num_gaussians = proj_zeros.opacities.shape[0]
         cap_int = sorted_src.shape[0]  # internal pipeline size (>= capacity)
         ct_packed, _ = ct  # aux outputs (overflow, count) carry float0 cts
         # per-instance grads in COMPACT sorted order (staging-stream kernel)
         dmeta = bp.blend_backward_compact_pallas(
-            meta, starts, ends, cstarts, packed, ct_packed,
+            meta, starts, ends, packed, ct_packed,
             capacity=cap_int, **kw_bwd
         )
         # compact order -> expansion order rides a payload sort (the random

@@ -62,7 +62,7 @@ def test_pipeline_matches_round1_binning(seed, n):
 
     # per-tile record parity: the old path gathers ids then fields; the new
     # path carries fields through the sort.  Compare the (mx,my,...) rows.
-    meta_new = np.asarray(layout.meta_aligned)
+    meta_new = np.asarray(layout.meta_sorted)
     fields = np.asarray(_diff_fields(proj))  # (10, P)
     ids_old = np.asarray(old.gaussian_ids)
     for t in range(grid_x * grid_y):

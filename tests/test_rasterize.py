@@ -182,7 +182,6 @@ def test_compact_backward_drain_no_stale_gradients():
 
     starts = jnp.array([0], jnp.int32)
     ends = jnp.array([n_inst], jnp.int32)
-    cstarts = jnp.array([0], jnp.int32)
     fwd = bp.blend_forward_pallas(
         meta, starts, ends, grid_x=1, grid_y=1, interpret=True
     )
@@ -192,7 +191,7 @@ def test_compact_backward_drain_no_stale_gradients():
 
     ct = jnp.ones((1, 256, bp.CT_COLS), jnp.float32)
     dmeta = bp.blend_backward_compact_pallas(
-        meta, starts, ends, cstarts, fwd, ct,
+        meta, starts, ends, fwd, ct,
         capacity=cap_aligned, grid_x=1, grid_y=1, interpret=True,
     )
     d = np.asarray(dmeta[:10])

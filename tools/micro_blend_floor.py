@@ -182,8 +182,8 @@ layout = jax.block_until_ready(layout)
 
 for level in ("dma", "alpha", "cumlog", "accum"):
     timeit(level, jax.jit(functools.partial(run_stripped, level)),
-           layout.meta_aligned, layout.tile_starts, layout.tile_ends)
+           layout.meta_sorted, layout.tile_starts, layout.tile_ends)
 
 timeit("full", jax.jit(lambda m, s, e: bp.blend_forward_pallas(
     m, s, e, grid_x=grid_x, grid_y=grid_y, tile_w=tile_w, tile_h=tile_h,
-    chunk=CHUNK)), layout.meta_aligned, layout.tile_starts, layout.tile_ends)
+    chunk=CHUNK)), layout.meta_sorted, layout.tile_starts, layout.tile_ends)

@@ -1,5 +1,9 @@
 #!/usr/bin/env python
-"""Anatomy probe for the compact backward blend: time the kernel with parts
+"""STALE (round 4): written against the round-3 rotation-based backward
+(aligned reads + cstarts + bp._dot_exact_rhs01); the production kernel now
+reads the compact stream directly.  Kept for the recorded DEVNOTES numbers.
+
+Anatomy probe for the compact backward blend: time the kernel with parts
 disabled to locate the µs/chunk. Variants:
   full        - production kernel
   nostage     - gradient math kept, rotation+staging+flush replaced by a
@@ -56,7 +60,7 @@ layout = jax.block_until_ready(layout)
 cap_int = layout.sorted_src.shape[0]
 packed = jax.jit(lambda m, s, e: bp.blend_forward_pallas(
     m, s, e, grid_x=grid_x, grid_y=grid_y, tile_w=tile_w, tile_h=tile_h,
-    chunk=cfg.chunk))(layout.meta_aligned, layout.tile_starts, layout.tile_ends)
+    chunk=cfg.chunk))(layout.meta_sorted, layout.tile_starts, layout.tile_ends)
 ct = jnp.ones(packed.shape[:2] + (bp.CT_COLS,), packed.dtype)
 
 CHUNK = 128
@@ -204,10 +208,10 @@ def run_variant(mode):
         out_shape=jax.ShapeDtypeStruct((16, cap_int + 2 * CHUNK), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(s, e, c_, m, f, ctp))
-    out = jax.block_until_ready(fn(starts, ends, cstarts, layout.meta_aligned, fwd_p, ct_p))
+    out = jax.block_until_ready(fn(starts, ends, cstarts, layout.meta_sorted, fwd_p, ct_p))
     t0 = time.perf_counter()
     for _ in range(10):
-        out = fn(starts, ends, cstarts, layout.meta_aligned, fwd_p, ct_p)
+        out = fn(starts, ends, cstarts, layout.meta_sorted, fwd_p, ct_p)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / 10
     print(f"{mode:>10}: {dt*1e3:8.2f} ms", flush=True)
@@ -216,11 +220,11 @@ def run_variant(mode):
 prod = jax.jit(lambda m, s, e, c_, f, ctp: bp.blend_backward_compact_pallas(
     m, s, e, c_, f, ctp, capacity=cap_int, grid_x=grid_x, grid_y=grid_y,
     tile_w=16, tile_h=16, chunk=128, t_per=2))
-out = jax.block_until_ready(prod(layout.meta_aligned, layout.tile_starts,
+out = jax.block_until_ready(prod(layout.meta_sorted, layout.tile_starts,
                                  layout.tile_ends, layout.starts_compact, packed, ct))
 t0 = time.perf_counter()
 for _ in range(10):
-    out = prod(layout.meta_aligned, layout.tile_starts, layout.tile_ends,
+    out = prod(layout.meta_sorted, layout.tile_starts, layout.tile_ends,
                layout.starts_compact, packed, ct)
 jax.block_until_ready(out)
 print(f"{'prod':>10}: {(time.perf_counter()-t0)/10*1e3:8.2f} ms", flush=True)

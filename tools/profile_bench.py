@@ -84,7 +84,8 @@ pnames = {e.get("pid"): (e.get("args") or {}).get("name", "") for e in trace["tr
 for pid, tot in sorted(pid_tot.items(), key=lambda kv: -kv[1])[:5]:
     print(f"pid {pid} ({pnames.get(pid,'?')}): total {tot/1e3/3:.2f} ms/iter")
 
-best_pid = max(pid_tot, key=pid_tot.get)
+tpu_pids = [p for p, n in pnames.items() if "TPU" in str(n)]
+best_pid = tpu_pids[0] if tpu_pids else max(pid_tot, key=pid_tot.get)
 rows = [(name, d) for (pid, name), d in agg.items() if pid == best_pid]
 rows.sort(key=lambda kv: -kv[1])
 print(f"\nTop ops on pid {best_pid} ({pnames.get(best_pid,'?')}), ms/iter over 3 iters:")

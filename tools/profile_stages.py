@@ -71,15 +71,15 @@ print(f"   demand: {int(layout.num_instances)} / cap {capacity}")
 fwd_fn = jax.jit(lambda m, s, e: bp.blend_forward_pallas(
     m, s, e, grid_x=grid_x, grid_y=grid_y, tile_w=tile_w, tile_h=tile_h,
     chunk=cfg.chunk, interpret=False))
-packed = timeit("blend_fwd", fwd_fn, layout.meta_aligned, layout.tile_starts,
+packed = timeit("blend_fwd", fwd_fn, layout.meta_sorted, layout.tile_starts,
                 layout.tile_ends)
 
 ct = jnp.ones(packed.shape[:2] + (bp.CT_COLS,), packed.dtype)
-bwd_fn = jax.jit(lambda m, s, e, c_, f, ctp: bp.blend_backward_compact_pallas(
-    m, s, e, c_, f, ctp, capacity=capacity, grid_x=grid_x, grid_y=grid_y,
-    tile_w=tile_w, tile_h=tile_h, chunk=cfg.chunk, interpret=False))
-timeit("blend_bwd_compact", bwd_fn, layout.meta_aligned, layout.tile_starts,
-       layout.tile_ends, layout.starts_compact, packed, ct)
+bwd_fn = jax.jit(lambda m, s, e, f, ctp: bp.blend_backward_compact_pallas(
+    m, s, e, f, ctp, capacity=capacity, grid_x=grid_x, grid_y=grid_y,
+    tile_w=tile_w, tile_h=tile_h, chunk=min(cfg.chunk, 128), interpret=False))
+timeit("blend_bwd_compact", bwd_fn, layout.meta_sorted, layout.tile_starts,
+       layout.tile_ends, packed, ct)
 
 
 def full_fwd(m, s, q, o, sh):

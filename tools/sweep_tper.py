@@ -70,17 +70,16 @@ for t_per in (8, 16, 32):
     fn = jax.jit(lambda m, s, e, tp=t_per: bp.blend_forward_pallas(
         m, s, e, grid_x=grid_x, grid_y=grid_y, tile_w=tile_w, tile_h=tile_h,
         chunk=cfg.chunk, t_per=tp))
-    packed = timeit(f"fwd t_per={t_per}", fn, layout.meta_aligned,
+    packed = timeit(f"fwd t_per={t_per}", fn, layout.meta_sorted,
                     layout.tile_starts, layout.tile_ends)
 
 ct = jnp.ones(packed.shape[:2] + (bp.CT_COLS,), packed.dtype)
 for chunk_b in (128, 256):
     for t_per in (2, 4):
-        fn = jax.jit(lambda m, s, e, c_, f, ctp, tp=t_per, cb=chunk_b:
+        fn = jax.jit(lambda m, s, e, f, ctp, tp=t_per, cb=chunk_b:
                      bp.blend_backward_compact_pallas(
-                         m, s, e, c_, f, ctp, capacity=cap_int, grid_x=grid_x,
+                         m, s, e, f, ctp, capacity=cap_int, grid_x=grid_x,
                          grid_y=grid_y, tile_w=tile_w, tile_h=tile_h,
                          chunk=cb, t_per=tp))
-        timeit(f"bwd chunk={chunk_b} t_per={t_per}", fn, layout.meta_aligned,
-               layout.tile_starts, layout.tile_ends, layout.starts_compact,
-               packed, ct)
+        timeit(f"bwd chunk={chunk_b} t_per={t_per}", fn, layout.meta_sorted,
+               layout.tile_starts, layout.tile_ends, packed, ct)
