@@ -200,7 +200,7 @@ def _untile(
     direction at bench scale vs ~0.2 ms in-kernel (tools/micro_untile.py)."""
     from gaussian_splatting_tpu.ops.untile import pick_t_per, untile_pallas
 
-    t_per = pick_t_per(grid_x)
+    t_per = pick_t_per(grid_x, tile_w)
     img = untile_pallas(packed, grid_x, grid_y, tile_w, tile_h, t_per, interpret)
     return img[:, :H, :W]
 

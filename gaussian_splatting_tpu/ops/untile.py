@@ -118,9 +118,12 @@ def _untile_bwd(grid_x, grid_y, tile_w, tile_h, t_per, interpret, _res, ct):
 untile_pallas.defvjp(_untile_fwd, _untile_bwd)
 
 
-def pick_t_per(grid_x: int, target: int = 8) -> int:
-    """Largest divisor of grid_x that is <= target (>=1)."""
+def pick_t_per(grid_x: int, tile_w: int = 16, target: int = 8) -> int:
+    """Largest Mosaic-legal tile group: the output block's last dim
+    (t_per*tile_w) must be a multiple of 128 OR span the full padded row
+    (Mosaic block-shape rule; t_per must also divide grid_x).  Falls back
+    to one whole row per block — always legal, still one program per row."""
     for t in range(min(target, grid_x), 0, -1):
-        if grid_x % t == 0:
+        if grid_x % t == 0 and (t * tile_w) % 128 == 0:
             return t
-    return 1
+    return grid_x

@@ -386,9 +386,6 @@ def train(
     reset_fn = jax.jit(opacity_reset_step)
 
     viewer = None
-    if viewer_ip and parallel == "gshard":
-        print("Viewer disabled in gshard mode (params are mesh-sharded)")
-        viewer_ip = ""
     if viewer_ip:
         from gaussian_splatting_tpu.viewer import ViewerServer
 
@@ -418,9 +415,12 @@ def train(
 
             poll_viewer(
                 viewer,
+                # gshard keeps params mesh-sharded; gather them only when a
+                # viewer client actually polls a frame (off the hot path)
                 lambda cam, sm: np.asarray(
                     render_custom_cam(
-                        state, cam, bg, scale_modifier=sm,
+                        unshard_state(state) if parallel == "gshard" else state,
+                        cam, bg, scale_modifier=sm,
                         raster=raster_holder[0],
                     )
                 ),

@@ -15,7 +15,7 @@ def _ref_untile(p, gx, gy, tw, th):
     return img.transpose(4, 0, 2, 1, 3).reshape(cols, gy * th, gx * tw)
 
 
-@pytest.mark.parametrize("gy,gx,cols", [(3, 10, 5), (1, 7, 8), (4, 8, 3)])
+@pytest.mark.parametrize("gy,gx,cols", [(3, 10, 5), (1, 7, 8), (4, 8, 3), (2, 50, 5)])
 def test_untile_matches_xla_transpose(gy, gx, cols):
     tw = th = 16
     t_per = pick_t_per(gx)
@@ -42,6 +42,10 @@ def test_untile_vjp_is_retile():
 
 def test_pick_t_per():
     assert pick_t_per(120) == 8
-    assert pick_t_per(7) == 7
-    assert pick_t_per(13, target=8) == 1
     assert pick_t_per(16) == 8
+    # Mosaic legality: t_per*tile_w % 128 != 0 for every divisor -> whole row
+    assert pick_t_per(50) == 50
+    assert pick_t_per(7) == 7
+    assert pick_t_per(13) == 13
+    # wider tiles reach 128 with fewer tiles per group
+    assert pick_t_per(12, tile_w=32) == 4
