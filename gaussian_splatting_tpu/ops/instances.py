@@ -93,7 +93,7 @@ def build_instances(
     # slice/pad copy between kernels (round-2 spent ~6 ms/iter at bench
     # scale on those copies).  Slots past the real demand are terminator-
     # owned (tile == num_tiles, depth BIG) and sort to the dropped tail.
-    gran = 8 * CHUNK  # expand/align t_per = 8
+    gran = 8 * CHUNK  # expand kernel t_per = 8
     cap_int = -(-(capacity + WINDOW) // gran) * gran
 
     touched = proj.tiles_touched > 0
