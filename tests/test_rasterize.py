@@ -229,3 +229,68 @@ def test_precomp_debug_flags_match_fused_path():
             np.asarray(out.image), np.asarray(base.image), atol=1e-6,
             err_msg=str(flags),
         )
+
+
+def test_compact_boundary_window_seam():
+    """Round-4 compact reads: two tiles whose gapless ranges SHARE a
+    128-window.  Tile 0 owns compact slots [0, 200), tile 1 owns [200, 360)
+    — window 1 (slots 128..256) holds tile 0's tail AND tile 1's head.  The
+    head-masked reads must keep each tile's blend independent, and the
+    backward's shared staging window must accumulate both tiles' gradients
+    exactly (the seam is an add of disjoint lanes)."""
+    from gaussian_splatting_tpu.ops import blend_pallas as bp
+
+    rng = np.random.default_rng(11)
+    n0, n1 = 200, 160
+    n = n0 + n1
+    cap = 512
+    meta = np.zeros((bp.NUM_FIELDS, cap + 256), np.float32)
+    for lo, hi, cx, cy in ((0, n0, 8.0, 8.0), (n0, n, 24.0, 8.0)):
+        k = hi - lo
+        meta[bp.F_X, lo:hi] = cx + rng.uniform(-4, 4, k)
+        meta[bp.F_Y, lo:hi] = cy + rng.uniform(-4, 4, k)
+        meta[bp.F_CA, lo:hi] = rng.uniform(0.02, 0.1, k)
+        meta[bp.F_CC, lo:hi] = rng.uniform(0.02, 0.1, k)
+        meta[bp.F_OP, lo:hi] = rng.uniform(0.1, 0.6, k)
+        meta[bp.F_R, lo:hi] = rng.uniform(0, 1, k)
+        meta[bp.F_G, lo:hi] = rng.uniform(0, 1, k)
+        meta[bp.F_B, lo:hi] = rng.uniform(0, 1, k)
+        meta[bp.F_INVD, lo:hi] = rng.uniform(0.2, 2.0, k)
+    meta = jnp.asarray(meta)
+    kw = dict(grid_x=2, grid_y=1, tile_w=16, tile_h=16, interpret=True)
+
+    # shared-window layout vs tile 1 rendered alone (same 2-tile grid so its
+    # pixel coords are identical; its instances then start at slot 0 = no head)
+    starts = jnp.array([0, n0], jnp.int32)
+    ends = jnp.array([n0, n], jnp.int32)
+    fwd = bp.blend_forward_pallas(meta, starts, ends, **kw)
+
+    meta1 = jnp.asarray(
+        np.concatenate(
+            [np.asarray(meta)[:, n0:n], np.zeros((bp.NUM_FIELDS, 256 + 96), np.float32)],
+            axis=1,
+        )
+    )
+    starts1 = jnp.array([0, 0], jnp.int32)
+    ends1 = jnp.array([0, n1], jnp.int32)
+    fwd_t1 = bp.blend_forward_pallas(meta1, starts1, ends1, **kw)
+    np.testing.assert_allclose(
+        np.asarray(fwd[1, :, :5]), np.asarray(fwd_t1[1, :, :5]), atol=2e-4,
+        err_msg="tile 1 blended through the shared window differs",
+    )
+
+    # backward: grads through the shared staging window == the isolated run's
+    ct_np = rng.uniform(-1, 1, (2, 256, bp.CT_COLS)).astype(np.float32)
+    ct = jnp.asarray(ct_np)
+    d = bp.blend_backward_compact_pallas(
+        meta, starts, ends, fwd, ct, capacity=cap, **kw
+    )
+    ct1 = np.zeros_like(ct_np)
+    ct1[1] = ct_np[1]
+    d1 = bp.blend_backward_compact_pallas(
+        meta1, starts1, ends1, fwd_t1, jnp.asarray(ct1), capacity=cap, **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(d[:10, n0:n]), np.asarray(d1[:10, :n1]), atol=1e-5,
+        err_msg="tile 1 grads through the shared staging window differ",
+    )
