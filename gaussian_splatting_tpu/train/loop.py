@@ -652,6 +652,13 @@ def train(
                     num_probe=2, headroom=1.5,
                 )
                 if est > raster_holder[0].instance_slack:
+                    # Quantize growth geometrically: every distinct slack is
+                    # a fresh step compile, and demand creeps a few % per
+                    # densify wave — unquantized this recompiled every ~100
+                    # iters for the whole densify phase (measured on the
+                    # thicket corpus scene).  1.25x steps bound the total
+                    # proactive recompiles to a handful per run.
+                    est = max(est, raster_holder[0].instance_slack * 1.25)
                     print(
                         f"[it {iteration}] densify re-probe: "
                         f"instance_slack -> {est:.1f}"
