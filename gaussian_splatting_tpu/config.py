@@ -84,12 +84,18 @@ class RasterizeConfig:
 
     tile_w: int = 16
     tile_h: int = 16
-    # Instances processed per blend inner step (lane dimension).  256 halves
-    # the blend kernels' per-chunk fixed costs (DMA issue + per-pixel-block
-    # state read-modify-write dominate at 128 — tools/micro_blend_floor.py)
-    # for ~20% more padding lanes; the expansion/sort pipeline stays at its
-    # 128-lane granularity (ops/expand.CHUNK).
-    chunk: int = 256
+    # FORWARD-blend instances per inner step (lane dimension).  Per-chunk
+    # fixed costs (DMA issue, per-pixel-block state read-modify-write, the
+    # cross-lane reductions) dominate the forward, so bigger is better until
+    # masked-lane waste wins: 128/256/512/1024 measured 33.0/26.3/22.0/42.3 ms
+    # standalone at bench shape (tools/sweep_blend.py, round 5).  The
+    # backward stays at min(chunk, 128) — its per-lane gradient math
+    # dominates and bigger chunks measured flat-to-worse.  The
+    # expansion/sort pipeline keeps its 128-lane granularity
+    # (ops/expand.CHUNK); instances.build_instances pads the internal
+    # capacity by 8*CHUNK so the last window DMA of a 512-lane chunk stays
+    # in bounds.
+    chunk: int = 512
     # Instance-buffer capacity as a multiple of the Gaussian count; the
     # fixed-capacity buffer replaces the reference's device-to-host
     # ``num_rendered`` sync (rasterizer_impl.cu:309-313).  If the buffer

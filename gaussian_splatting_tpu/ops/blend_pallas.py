@@ -64,15 +64,24 @@ F_X, F_Y, F_CA, F_CB, F_CC, F_OP, F_R, F_G, F_B, F_INVD = range(10)
 NUM_FIELDS = 16
 
 # Packed forward output columns: (num_tiles, PIX, OUT_COLS)
-# column 6 doubles as the per-pixel done flag while the kernel is running.
-O_R, O_G, O_B, O_T, O_INVD, O_NCONTRIB, O_DONE = range(7)
+# O_NB is the per-pixel STREAM POSITION of the first lane whose test_T
+# dropped below T_EPS (the reference's early-stop, forward.cu:477-482), or
+# NB_BIG if the pixel never stopped.  One scalar replaces the round-1..4
+# last-contributor max + done flag: the backward's contributor set is
+# exactly ``eligible & (stream_pos < NB)`` (before_bad is a prefix property
+# by test_T monotonicity), so the replay needs ONE integer compare and the
+# forward drops a cross-lane min reduction + the done-flag update per chunk.
+O_R, O_G, O_B, O_T, O_INVD, O_NB = range(6)
 OUT_COLS = 8
+# Finite infinity for NB: exact in f32 and > any stream position
+# (instances.MAX_CAPACITY check guarantees capacity < 2^24).
+NB_BIG = float(1 << 24)
 
 # Packed cotangent columns — the first five forward output columns (the
 # ones the render consumes: RGB, T, invdepth).  The render core outputs
 # ONLY these five (the full packed block is a VJP residual), so the
 # cotangent arrives 5-wide and no zero-pad for the internal
-# O_NCONTRIB/O_DONE columns is ever materialized (a (tiles, 256, 8) pad
+# O_NB column is ever materialized (a (tiles, 256, 8) pad
 # measured 3.3 ms/iter at bench scale).
 CT_R, CT_G, CT_B, CT_BGDOT, CT_INVD = O_R, O_G, O_B, O_T, O_INVD
 CT_COLS = O_INVD + 1  # 5
@@ -283,8 +292,10 @@ def _forward_one_tile(
 
     px, py = _tile_pixel_coords(tile_id, grid_x, tile_w, tile_h)
 
-    # init state: T=1, everything else 0
-    out_ref[t] = jnp.where(lane8 == O_T, 1.0, 0.0)
+    # init state: T=1, NB=BIG (no early-stop yet), everything else 0
+    out_ref[t] = jnp.where(
+        lane8 == O_T, 1.0, jnp.where(lane8 == O_NB, NB_BIG, 0.0)
+    )
 
     def chunk_dma(slot, c):
         return pltpu.make_async_copy(
@@ -310,7 +321,8 @@ def _forward_one_tile(
 
         st = out_ref[t]  # (pix, OUT_COLS)
         T = _col(st, O_T)
-        done = _col(st, O_DONE) > 0.0
+        NB = _col(st, O_NB)
+        done = NB < NB_BIG
 
         n_in_chunk = end - w0 - c * chunk
         alpha, eligible, _ncap, _G = _chunk_alpha(
@@ -362,24 +374,24 @@ def _forward_one_tile(
 
         # T after this chunk = the smallest surviving test_T (== T * E[k*]
         # at the first bad lane k*, or the full product with no bad lane —
-        # the min over passing lanes IS that value by monotonicity); the
-        # unmasked min detects any bad lane.  min(T, .) covers the
-        # k* == 0 case (every lane bad -> T unchanged).
-        m_all = jnp.min(test_T, axis=1, keepdims=True)
+        # the min over passing lanes IS that value by monotonicity).
+        # min(T, .) covers the k* == 0 case (every lane bad -> T unchanged).
         m_ok = jnp.min(
             jnp.where(before_bad, test_T, BIG_T), axis=1, keepdims=True
         )
         T_new = jnp.where(done, T, jnp.minimum(T, m_ok))
 
-        # last contributor position (1-based within the tile range; head
-        # lanes are never contrib so their negative pos never enters the max)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (pix, chunk), 1)
-        pos = (c * chunk + lane + 1 - head).astype(jnp.float32)
-        nc_new = jnp.maximum(
-            _col(st, O_NCONTRIB),
-            jnp.max(jnp.where(contrib, pos, 0.0), axis=1, keepdims=True),
+        # first-bad STREAM position: before_bad is a prefix property (test_T
+        # is monotone along lanes), so the count of passing lanes IS the
+        # first-bad lane index — one sum reduction replaces the round-3
+        # m_all min + last-contributor pos/max tracking.  k == chunk means
+        # no bad lane in this chunk.
+        k_star = jnp.sum(
+            before_bad.astype(jnp.float32), axis=1, keepdims=True
         )
-        done_new = jnp.where(done | (m_all < T_EPS), 1.0, 0.0)
+        base = (w0 + c * chunk).astype(jnp.float32)
+        first_bad = jnp.where(k_star < float(chunk), base + k_star, NB_BIG)
+        NB_new = jnp.minimum(NB, first_bad)
 
         new_st = jnp.concatenate(
             [
@@ -388,14 +400,15 @@ def _forward_one_tile(
                 _col(st, O_B) + dCb,
                 T_new,
                 _col(st, O_INVD) + dinvd,
-                nc_new,
-                done_new,
-                jnp.zeros((pix, 1), jnp.float32),
+                NB_new,
+                jnp.zeros((pix, 2), jnp.float32),
             ],
             axis=1,
         )
         out_ref[t] = new_st
-        alldone = jnp.sum(done_new) >= float(pix)
+        alldone = jnp.sum(
+            jnp.where(NB_new < NB_BIG, 1.0, 0.0)
+        ) >= float(pix)
         return c + 1, alldone
 
     def cond(state):
@@ -710,9 +723,16 @@ def _backward_one_tile_compact(
     T_final = _col(fwd, O_T)
     C_tot_r = _col(fwd, O_R)
     C_tot_g = _col(fwd, O_G)
-    C_tot_b = _col(fwd, O_B)
     invd_tot = _col(fwd, O_INVD)
-    n_contrib = _col(fwd, O_NCONTRIB)
+    C_tot_b = _col(fwd, O_B)
+    # Tile-relative EXCLUSIVE contributor bound from the first-bad stream
+    # position: contrib == eligible & (pos < nb_rel) reproduces the
+    # forward's contributor set exactly (before_bad is a prefix property;
+    # lanes between the last contributor and the first bad lane are
+    # ineligible, so the eligible mask excludes them either way).
+    NB = _col(fwd, O_NB)
+    n_contrib = jnp.minimum(NB - start.astype(jnp.float32),
+                            (end - start).astype(jnp.float32))
 
     ct = ct_ref[t]
     dC_r = _col(ct, CT_R)

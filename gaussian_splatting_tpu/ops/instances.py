@@ -94,7 +94,12 @@ def build_instances(
     # scale on those copies).  Slots past the real demand are terminator-
     # owned (tile == num_tiles, depth BIG) and sort to the dropped tail.
     gran = 8 * CHUNK  # expand kernel t_per = 8
-    cap_int = -(-(capacity + WINDOW) // gran) * gran
+    # Tail slack must cover the LARGEST blend-kernel chunk (the kernels clamp
+    # tile ends to cap_int - chunk so the last window DMA stays in bounds;
+    # with only WINDOW=256 of slack a 512/1024-lane chunk would truncate real
+    # instances on non-overflow steps).  8*CHUNK = 1024 supports chunks up to
+    # 1024 for <= 0.05% extra sort capacity.
+    cap_int = -(-(capacity + 8 * CHUNK) // gran) * gran
 
     touched = proj.tiles_touched > 0
     counts = jnp.where(touched, proj.tiles_touched, 1)  # sentinels
@@ -175,6 +180,11 @@ def build_instances(
     # per-operand overhead-bound (~1.85 ms per f32 column, tools/
     # micro_sortpack.py), so packing nearly halves the payload cost.  The
     # source index is exact in f32 (cap_int < 2^24, checked above).
+    # NOTE (round 5): packing the (tile, depth) key pair into one complex64
+    # key was tried and reverted — XLA decomposes complex sort operands back
+    # into f32 pairs plus an extra iota at the HLO level, and the
+    # lexicographic complex comparator measured ~1 ms SLOWER in a device
+    # trace than the plain two-key sort.
     payload = meta_rows  # 9 (cap_int,) rows straight from the expand kernel
     if grad_layout:
         srcf = jnp.arange(cap_int, dtype=jnp.float32)

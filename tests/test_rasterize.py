@@ -186,8 +186,8 @@ def test_compact_backward_drain_no_stale_gradients():
         meta, starts, ends, grid_x=1, grid_y=1, interpret=True
     )
     # sanity: every pixel early-stopped within chunk 0
-    n_contrib = np.asarray(fwd[0, :, bp.O_NCONTRIB])
-    assert n_contrib.max() <= chunk
+    nb = np.asarray(fwd[0, :, bp.O_NB])
+    assert nb.max() <= chunk  # every pixel's first-bad position in chunk 0
 
     ct = jnp.ones((1, 256, bp.CT_COLS), jnp.float32)
     dmeta = bp.blend_backward_compact_pallas(

@@ -97,7 +97,7 @@ def variant_kernel(
                  jnp.zeros((PIX, 2), jnp.float32)], axis=1)
             fwd = fwd_ref[t]
             T_final = fwd[:, bp.O_T:bp.O_T+1]
-            n_contrib = fwd[:, bp.O_NCONTRIB:bp.O_NCONTRIB+1]
+            n_contrib = fwd[:, bp.O_NB:bp.O_NB+1]  # NB >= last-contrib bound
             ctb = ct_ref[t]
             ctmat = ctb[:, :4]
             Ctot_q = (fwd[:, :4] * ctb[:, :4]).sum(1, keepdims=True) + T_final * ctb[:, 4:5]
