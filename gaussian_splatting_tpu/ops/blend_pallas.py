@@ -135,10 +135,17 @@ def _cumsum_lanes(x: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
     out = []
     carry = None
     for k in range(n // b):
-        c = _dot_tri(x[:, k * b : (k + 1) * b], tri)
+        xb = x[:, k * b : (k + 1) * b]
+        c = _dot_tri(xb, tri)
         if carry is not None:
             c = c + carry
-        carry = _last_lane(c)
+        # Running carry via a PLAIN block sum (cheaper than extracting the
+        # cumsum's last lane: no iota/where).  Rounds differently from the
+        # in-block matmul prefix by ~1 ulp, which can flip before_bad only
+        # for an INELIGIBLE lane exactly at a block boundary at the T_EPS
+        # knife edge — such a lane contributes zero either way.
+        s = jnp.sum(xb, axis=1, keepdims=True)
+        carry = s if carry is None else carry + s
         out.append(c)
     return jnp.concatenate(out, axis=1)
 
@@ -160,14 +167,6 @@ def _dot3(a: jnp.ndarray, b: jnp.ndarray, dims) -> jnp.ndarray:
         preferred_element_type=jnp.float32,
     )
     return d(a_hi, b_hi) + d(a_hi, b_err) + d(a_err, b_hi)
-
-
-def _last_lane(x: jnp.ndarray) -> jnp.ndarray:
-    """x[..., -1:] via a masked reduction (canonical Mosaic layout; a direct
-    last-lane slice forces a vector relayout pass)."""
-    n = x.shape[-1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-    return jnp.sum(jnp.where(lane == n - 1, x, 0.0), axis=-1, keepdims=True)
 
 
 def _tile_pixel_coords(tile_id, grid_x: int, tile_w: int, tile_h: int):
@@ -203,7 +202,12 @@ def _chunk_alpha(meta, px, py, n_in_chunk, chunk, *, lo=0, want_grad_terms=False
     ca = meta[F_CA, :][None, :]
     cb = meta[F_CB, :][None, :]
     cc = meta[F_CC, :][None, :]
-    op = meta[F_OP, :][None, :]
+    # Range masking rides the OPACITY ROW (a (1, chunk) where instead of a
+    # (pix, chunk) AND in the eligibility mask): op == 0 forces
+    # alpha < ALPHA_MIN, and any NaN from out-of-range meta (0*inf, or
+    # uninitialized slots past the valid stream) fails every compare below,
+    # so the final wheres still see exact zeros.
+    op = jnp.where(in_range, meta[F_OP, :][None, :], 0.0)
 
     dx = x - px  # (PIX, chunk)
     dy = y - py
@@ -218,7 +222,7 @@ def _chunk_alpha(meta, px, py, n_in_chunk, chunk, *, lo=0, want_grad_terms=False
     G = jnp.exp(power)
     raw = op * G
     alpha = jnp.minimum(ALPHA_CAP, raw)
-    eligible = (power <= 0.0) & (alpha >= ALPHA_MIN) & in_range
+    eligible = (power <= 0.0) & (alpha >= ALPHA_MIN)
     alpha_eff = jnp.where(eligible, alpha, 0.0)
     if not want_grad_terms:
         return alpha_eff, eligible, None, None
@@ -521,7 +525,8 @@ def _bwd_chunk_math(
     # a (pix,4)@(4,chunk) contraction, so it rides the MXU (round 4:
     # replaces seven (pix, chunk) VPU passes).
     q = _dot3(ctmat, meta[F_R : F_INVD + 1, :], (((1,), (0,)), ((), ())))
-    cq_in = Bq + _cumsum_lanes(w * q, tri)
+    wq = w * q
+    cq_in = Bq + _cumsum_lanes(wq, tri)
     inv_om = 1.0 / om
 
     # gl = G * d(alpha)/d(raw) * op * dL/da written in w-form:
@@ -595,15 +600,14 @@ def _bwd_chunk_math(
         ],
         axis=0,
     )
-    # Per-pixel lane sums ride the EXISTING MXU contractions: tri's last
-    # column is all ones, so cum_log's last lane is sum(lw) (lw == 0 exactly
-    # on non-contributing lanes — the log of this chunk's T factor) and
-    # cq_in's last lane is Bq + sum(w*q).  No extra contraction; a separate
-    # (2*pix, chunk) @ ones matvec also hits a Mosaic limitation ("only
-    # constant accumulators supported" when the 3-pass split's adds fuse
-    # into the reduction accumulator).
-    T_new = T * jnp.exp(_last_lane(cum_log))
-    Bq_new = _last_lane(cq_in)
+    # Per-pixel carries via PLAIN lane sums (round 5): lw == 0 exactly on
+    # non-contributing lanes so sum(lw) is the log of this chunk's T factor,
+    # and Bq accumulates sum(w*q).  A direct tree-sum reduction is cheaper
+    # than extracting the cumsum matmul's last lane (no iota/where); the
+    # replay T drifts from the forward only in rounding (~1e-7 relative),
+    # and the contributor SET stays exact through the NB compare.
+    T_new = T * jnp.exp(jnp.sum(lw, axis=1, keepdims=True))
+    Bq_new = Bq + jnp.sum(wq, axis=1, keepdims=True)
     return gblock, T_new, Bq_new
 
 

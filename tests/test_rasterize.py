@@ -290,7 +290,11 @@ def test_compact_boundary_window_seam():
     d1 = bp.blend_backward_compact_pallas(
         meta1, starts1, ends1, fwd_t1, jnp.asarray(ct1), capacity=cap, **kw
     )
+    # atol: the two layouts split the replay's per-chunk T-carry lane sums
+    # at different lane offsets (head 72 vs 0), which rounds differently at
+    # the ~1e-5 level (round 5: plain-sum carries).  A real seam bug (stale
+    # staging data, double adds) shows up at O(1), far above this.
     np.testing.assert_allclose(
-        np.asarray(d[:10, n0:n]), np.asarray(d1[:10, :n1]), atol=1e-5,
+        np.asarray(d[:10, n0:n]), np.asarray(d1[:10, :n1]), atol=5e-5,
         err_msg="tile 1 grads through the shared staging window differ",
     )
