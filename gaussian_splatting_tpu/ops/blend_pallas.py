@@ -55,6 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_CAP = 0.99
 T_EPS = 1e-4
+POWER_EPS = 1e-4  # eligibility slack over the exact power<=0 test (see _chunk_alpha)
 BIG_T = 2.0  # > any transmittance; masks non-surviving lanes in the T min
 
 # Field-major instance record layout (rows of the (NUM_FIELDS, capacity) array)
@@ -180,28 +181,58 @@ def _tile_pixel_coords(tile_id, grid_x: int, tile_w: int, tile_h: int):
     return px, py
 
 
-def _chunk_alpha(meta, px, py, n_in_chunk, chunk, *, lo=0, want_grad_terms=False):
+def _tile_feature_matrix(px, py, ox, oy, pix):
+    """(pix, 8) pixel-feature matrix [1, pxl, pyl, pxl^2, pxl*pyl, pyl^2, 0, 0]
+    in TILE-CENTER-relative coordinates (ox/oy are the tile center).
+
+    Every entry is a small half-integer product (|pxl| <= 7.5, |pxl*pyl| <=
+    56.25, representable in <= 8 mantissa bits) — EXACTLY bf16, so the power
+    matmul (see _chunk_alpha) only needs the instance-side operand split.
+    This is the backward's moment matrix (Pmat) and the alpha evaluator's
+    feature matrix in one.
+    """
+    pxl = px - ox
+    pyl = py - oy
+    ones_col = jnp.ones((pix, 1), jnp.float32)
+    return jnp.concatenate(
+        [ones_col, pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl,
+         jnp.zeros((pix, 2), jnp.float32)],
+        axis=1,
+    )
+
+
+def _chunk_alpha(meta, Fmat, ox, oy, n_in_chunk, chunk, *, lo=0,
+                 want_grad_terms=False):
     """Per-(pixel, instance) alpha for one chunk.
 
-    meta: (NUM_FIELDS, chunk) VMEM slab; px/py: (PIX, 1).
-    Returns (alpha_eff, eligible, not_capped, G); alpha_eff is zero where
-    not eligible.  Skip semantics match forward.cu:462-476.  The forward
-    pass sets want_grad_terms=False: not_capped/G are backward-only and
-    their passes are skipped (G's exp result still feeds alpha either way).
+    meta: (NUM_FIELDS, chunk) VMEM slab; Fmat: the (pix, 8) pixel-feature
+    matrix from _tile_feature_matrix; ox/oy: the tile-center coordinates it
+    was built with.  Returns (alpha_eff, eligible, not_capped, G); alpha_eff
+    is zero where not eligible.  Skip semantics match forward.cu:462-476.
+
+    The quadratic form rides the MXU (round 5): power(p, i) is bilinear in
+    per-pixel features [1, pxl, pyl, pxl^2, pxl*pyl, pyl^2] and per-instance
+    coefficients, so ONE (pix, 8) @ (8, chunk) contraction replaces the
+    ~7 per-(pixel, instance) VPU passes of the dx/dy FMA chain.  Exactness:
+    Fmat entries are exactly bf16 (see _tile_feature_matrix); the instance
+    rows get a 3-way bf16 split (24 mantissa bits, exact).  Tile-CENTER
+    centering bounds |g0| <= ~150 even for minimum-size (dilation-floor)
+    Gaussians, so the f32 MXU accumulation error on power is ~1e-5 —
+    far inside the 2e-4 image parity budget.
 
     ``lo`` masks HEAD lanes (compact-stream reads start at the 128-aligned
     window below the tile's first instance; lanes < lo belong to the
-    previous tile): they become non-eligible, so they contribute an exact 0
-    to every log/weight sum downstream — invisible to this tile's math.
+    previous tile): their opacity row is zeroed, so alpha < ALPHA_MIN and
+    they contribute an exact 0 to every downstream sum.
     """
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     in_range = (lane >= lo) & (lane < n_in_chunk)  # (1, chunk)
 
-    x = meta[F_X, :][None, :]
-    y = meta[F_Y, :][None, :]
-    ca = meta[F_CA, :][None, :]
-    cb = meta[F_CB, :][None, :]
-    cc = meta[F_CC, :][None, :]
+    xl = meta[F_X, :][None, :] - ox  # (1, chunk) tile-center-relative
+    yl = meta[F_Y, :][None, :] - oy
+    A = -0.5 * meta[F_CA, :][None, :]
+    B = -meta[F_CB, :][None, :]
+    C = -0.5 * meta[F_CC, :][None, :]
     # Range masking rides the OPACITY ROW (a (1, chunk) where instead of a
     # (pix, chunk) AND in the eligibility mask): op == 0 forces
     # alpha < ALPHA_MIN, and any NaN from out-of-range meta (0*inf, or
@@ -209,20 +240,30 @@ def _chunk_alpha(meta, px, py, n_in_chunk, chunk, *, lo=0, want_grad_terms=False
     # so the final wheres still see exact zeros.
     op = jnp.where(in_range, meta[F_OP, :][None, :], 0.0)
 
-    dx = x - px  # (PIX, chunk)
-    dy = y - py
-    # FMA form: fold the -0.5 / sign into the (1, chunk) conic rows (128x
-    # cheaper than (PIX, chunk) passes) and nest so the big-array work is
-    # 2 muls + 2 FMAs + 1 mul instead of 9 passes.  Same quadratic form as
-    # forward.cu:461 up to reassociation (~1 ulp relative on power).
-    a1 = -0.5 * ca
-    b1 = -cb
-    c1 = -0.5 * cc
-    power = dx * (a1 * dx + b1 * dy) + (c1 * dy) * dy
+    # power(p, i) = A dx^2 + B dx dy + C dy^2 with dx = xl - pxl:
+    #   = g0 + pxl*g1 + pyl*g2 + pxl^2*A + pxl*pyl*B + pyl^2*C
+    g0 = (A * xl + B * yl) * xl + (C * yl) * yl
+    g1 = -(2.0 * A * xl + B * yl)
+    g2 = -(B * xl + 2.0 * C * yl)
+    Ginst = jnp.concatenate(
+        [g0, g1, g2, A, B, C, jnp.zeros((2, chunk), jnp.float32)], axis=0
+    )  # (8, chunk)
+    hi = Ginst.astype(jnp.bfloat16).astype(jnp.float32)
+    r1 = Ginst - hi
+    mid = r1.astype(jnp.bfloat16).astype(jnp.float32)
+    lo_ = r1 - mid
+    d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    power = d(Fmat, hi) + d(Fmat, mid) + d(Fmat, lo_)  # (pix, chunk)
+
     G = jnp.exp(power)
     raw = op * G
     alpha = jnp.minimum(ALPHA_CAP, raw)
-    eligible = (power <= 0.0) & (alpha >= ALPHA_MIN)
+    # power <= 0 exactly in real arithmetic (PSD conic); the matmul rounds
+    # by ~1e-5 either way, and a spurious positive at a Gaussian's CENTER
+    # pixel would drop its largest alpha.  POWER_EPS >> rounding keeps those
+    # (alpha error <= op * 1e-4) while still rejecting genuinely positive
+    # powers from degenerate conics (whose exp/inf the where() kills).
+    eligible = (power <= POWER_EPS) & (alpha >= ALPHA_MIN)
     alpha_eff = jnp.where(eligible, alpha, 0.0)
     if not want_grad_terms:
         return alpha_eff, eligible, None, None
@@ -295,6 +336,11 @@ def _forward_one_tile(
     nchunks = jnp.where(end > start, pl.cdiv(end - w0, chunk), 0)
 
     px, py = _tile_pixel_coords(tile_id, grid_x, tile_w, tile_h)
+    # tile-CENTER origin: bounds the power matmul's per-instance coefficient
+    # magnitudes (see _chunk_alpha precision note)
+    ox = ((tile_id % grid_x) * tile_w).astype(jnp.float32) + 0.5 * (tile_w - 1)
+    oy = ((tile_id // grid_x) * tile_h).astype(jnp.float32) + 0.5 * (tile_h - 1)
+    Fmat = _tile_feature_matrix(px, py, ox, oy, pix)
 
     # init state: T=1, NB=BIG (no early-stop yet), everything else 0
     out_ref[t] = jnp.where(
@@ -329,8 +375,8 @@ def _forward_one_tile(
         done = NB < NB_BIG
 
         n_in_chunk = end - w0 - c * chunk
-        alpha, eligible, _ncap, _G = _chunk_alpha(
-            meta, px, py, n_in_chunk, chunk, lo=head - c * chunk
+        alpha, _elig, _ncap, _G = _chunk_alpha(
+            meta, Fmat, ox, oy, n_in_chunk, chunk, lo=head - c * chunk
         )
 
         om = 1.0 - alpha
@@ -362,8 +408,10 @@ def _forward_one_tile(
         # smaller.  This replaces the bad-flag MXU cumsum + one-hot E-at-bad
         # select + any() + last-lane extraction of rounds 1-2 with one
         # compare and two lane-min reductions.
+        # alpha is already exactly 0 on ineligible lanes, so the contributor
+        # weight needs no eligibility AND (one fewer (pix, chunk) pass)
         before_bad = test_T >= T_EPS
-        contrib = eligible & before_bad & (~done)
+        contrib = before_bad & (~done)
         w = jnp.where(contrib, alpha * T_before, 0.0)
 
         # one MXU contraction computes all four weighted accumulations:
@@ -482,11 +530,16 @@ def blend_forward_pallas(
 
 
 def _bwd_chunk_math(
-    meta, c, n_in_chunk, T, Bq, px, py, ox, oy, Pmat, tri,
+    meta, c, n_in_chunk, T, Bq, ox, oy, Pmat, tri,
     Ctot_q, ctmat, n_contrib, chunk, pix, head=0,
 ):
     """Per-chunk backward-replay math shared by the aligned- and compact-
     output kernels.  Returns (gblock (16, chunk), T_new, Bq_new).
+
+    ``Pmat`` is the tile's (pix, 8) pixel-feature matrix
+    (_tile_feature_matrix, tile-CENTER-relative): it is both the moment
+    matrix of the gradient reductions and the alpha evaluator's feature
+    matrix (``ox``/``oy`` are the center coordinates it was built with).
 
     ``Ctot_q`` arrives PRE-FOLDED with the final-transmittance cotangent
     term (Ctot_q + T_final*ct_T, per tile) — the /(1-a_k) denominators of
@@ -495,13 +548,14 @@ def _bwd_chunk_math(
     the per-tile (pix, 4) cotangent block [dC_r|dC_g|dC_b|dinvd].
     """
     alpha, eligible, not_capped, G = _chunk_alpha(
-        meta, px, py, n_in_chunk, chunk, lo=head - c * chunk,
+        meta, Pmat, ox, oy, n_in_chunk, chunk, lo=head - c * chunk,
         want_grad_terms=True,
     )
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (pix, chunk), 1)
-    # 0-based tile-relative position (head lanes go negative but are never
-    # eligible, so they cannot enter contrib)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    # 0-based tile-relative position, (1, chunk) — broadcast against the
+    # (pix, 1) per-pixel contributor bound (head lanes go negative but are
+    # never eligible, so they cannot enter contrib)
     pos = (c * chunk + lane - head).astype(jnp.float32)
     contrib = eligible & (pos < n_contrib)
     a = jnp.where(contrib, alpha, 0.0)
@@ -537,7 +591,7 @@ def _bwd_chunk_math(
     # oracle.py) and kills any NaN ridden in from masked-lane meta.
     gl = jnp.where(
         contrib & not_capped,
-        q * w - (a * inv_om) * (Ctot_q - cq_in),
+        wq - (a * inv_om) * (Ctot_q - cq_in),
         0.0,
     )
 
@@ -712,16 +766,11 @@ def _backward_one_tile_compact(
     head = start - w0
 
     px, py = _tile_pixel_coords(tile_id, grid_x, tile_w, tile_h)
-    ox = ((tile_id % grid_x) * tile_w).astype(jnp.float32)
-    oy = ((tile_id // grid_x) * tile_h).astype(jnp.float32)
-    pxl = px - ox
-    pyl = py - oy
-    ones_col = jnp.ones((pix, 1), jnp.float32)
-    Pmat = jnp.concatenate(
-        [ones_col, pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl,
-         jnp.zeros((pix, 2), jnp.float32)],
-        axis=1,
-    )
+    # tile-CENTER origin (see _chunk_alpha precision note); Pmat doubles as
+    # the moment matrix and the alpha evaluator's pixel-feature matrix
+    ox = ((tile_id % grid_x) * tile_w).astype(jnp.float32) + 0.5 * (tile_w - 1)
+    oy = ((tile_id // grid_x) * tile_h).astype(jnp.float32) + 0.5 * (tile_h - 1)
+    Pmat = _tile_feature_matrix(px, py, ox, oy, pix)
 
     fwd = fwd_ref[t]
     T_final = _col(fwd, O_T)
@@ -795,7 +844,7 @@ def _backward_one_tile_compact(
 
             meta = meta_vmem[slot]
             gblock, T_new, Bq_new = _bwd_chunk_math(
-                meta, c, n_in_chunk, T, Bq, px, py, ox, oy, Pmat, tri,
+                meta, c, n_in_chunk, T, Bq, ox, oy, Pmat, tri,
                 Ctot_q, ctmat, n_contrib, chunk, pix, head=head,
             )
             # head lanes belong to the PREVIOUS tile (it already emitted

@@ -44,40 +44,41 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Table column layout (TBL_ROWS, P_pad), field-major (Mosaic cannot DMA row
-# slices of 16-minor arrays).
+# slices of 16-minor arrays).  Round 5: small-integer fields ride PACKED
+# rows (a + PACK_BASE*b, exact f32 integers < 2^24) — the expansion matmul's
+# 3-way bf16 split is exact for EVERY f32, so packing costs nothing in
+# precision while cutting the per-chunk window DMA from 48 to 32 rows and
+# the expansion matmul from 112 to 96 row-passes.
+PACK_BASE = 4096.0  # 2^12: packed pairs stay < 2^24 (f32-exact)
 T_OFFSET = 0  # first instance slot (f32-exact integer)
-T_RECT_X = 1  # rect_min_x (tile units)
-T_RECT_Y = 2  # rect_min_y
-T_RECT_W = 3  # rect width in tiles, >= 1
-T_DEPTH = 4  # view depth; +inf marks invalid (sentinel-only) Gaussians
-T_MX = 5  # means2d x (pixels)
-T_MY = 6  # means2d y
-T_SPAN = 7  # 1.0 = per-row span mapping applies (preprocess.MAX_SPAN_ROWS)
-T_CA = 8  # conic a
-T_CB = 9  # conic b
-T_CC = 10  # conic c
-T_OP = 11  # opacity
-T_R = 12
-T_G = 13
-T_B = 14
+T_PACKXY = 1  # rect_min_x + 4096*rect_min_y (tile units; grids < 4096)
+T_PACKWF = 2  # rect width (>= 1) + 4096*span_flag
+T_DEPTH = 3  # view depth; BIG marks invalid (sentinel-only) Gaussians
+T_MX = 4  # means2d x (pixels)
+T_MY = 5  # means2d y
+T_CA = 6  # conic a
+T_CB = 7  # conic b
+T_CC = 8  # conic c
+T_OP = 9  # opacity
+T_R = 10
+T_G = 11
+T_B = 12
 # Inverse depth is recomputed from the sorted depth key (see instances.py)
-# so it needs no expanded row; row 15 is zero padding.  The meta output
-# stays 16 rows: Mosaic requires the second-minor dim of any sliced HBM
-# memref to be a multiple of the 8-sublane tile (a (15, N) table window DMA
-# is rejected with "Slice shape along dimension 0 must be aligned to
-# tiling (8)").
-NUM_TCOLS = 16
+# so it needs no expanded row; rows 13-15 are zero padding (Mosaic requires
+# the second-minor dim of any sliced HBM memref to be a multiple of the
+# 8-sublane tile).
 # Exact-cull span tables (preprocess.compute_tile_spans): instance slots are
 # allocated only for tiles whose nearest pixel center is within the cut
 # radius, so the slot -> (row, tile) mapping needs each row's first tile x
 # and the cumulative count through each row.  No per-cell test runs in the
 # kernel — the spans are computed ONCE in preprocess, so XLA/Mosaic sqrt
-# rounding can never disagree about a slot's destination.
-T_X0 = 16  # rows 16..31: span_x0[r], r = 0..15
-T_CUM = 32  # rows 32..47: span_cum[r] (count through rect row r)
+# rounding can never disagree about a slot's destination.  Row r of T_SP
+# packs span_x0[r] + 4096*span_cum[r]; preprocess guarantees both < 4096
+# (span_flag is cleared for footprints that would exceed it, falling back
+# to exact full-rect expansion).
+T_SP = 16  # rows 16..31
 N_SPAN = 16
-N_BASE_ROWS = 16  # full-precision table rows; rows >= 16 are < 2^16 ints
-TBL_ROWS = 48
+TBL_ROWS = 32
 
 # Output meta row order == blend_pallas field order (F_X..F_B).  F_INVD is
 # NOT expanded or sorted: inverse depth is recomputed from the sorted depth
@@ -201,20 +202,9 @@ def _expand_kernel_impl(
             )
             onehotT = geT - ge_below  # exactly one 1.0 per column
 
-            # Split-precision expansion (round 4): the 16 base rows carry
-            # full-f32 payloads (3-way bf16 split, 24 mantissa bits), but
-            # the 32 span-table rows are integers < 2^16 (span_cum <= rect
-            # area <= 16*120, span_x0 <= grid_x) — hi+mid covers them
-            # EXACTLY, dropping a third of their matmul/split passes.
-            rows_base = _dot_exact_rhs01(
-                win[:N_BASE_ROWS], onehotT
-            )  # (16, CHUNK)
-            sp = win[N_BASE_ROWS:]
-            sp_hi = sp.astype(jnp.bfloat16).astype(jnp.float32)
-            sp_mid = sp - sp_hi
-            d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
-            rows_span = d(sp_hi, onehotT) + d(sp_mid, onehotT)
-            rows = jnp.concatenate([rows_base, rows_span], axis=0)
+            # One exact 3-way-split expansion over the whole packed table
+            # (round 5: 32 rows instead of 48, see the layout note above).
+            rows = _dot_exact_rhs01(win, onehotT)  # (TBL_ROWS, CHUNK)
 
             # g index: count of offsets <= slot, single exact pass (0/1)
             counts = jnp.dot(
@@ -224,18 +214,24 @@ def _expand_kernel_impl(
             g = base + counts.astype(jnp.int32) - 1
 
             local = slot - rows[T_OFFSET : T_OFFSET + 1, :]  # (1, CHUNK)
+            # --- unpack the integer-pair rows (exact: packed values are
+            # f32-exact integers, /4096 is a power-of-two divide) ---
+            pxy = rows[T_PACKXY : T_PACKXY + 1, :]
+            rect_y = jnp.floor(pxy * (1.0 / PACK_BASE))
+            rect_x = pxy - PACK_BASE * rect_y
+            pwf = rows[T_PACKWF : T_PACKWF + 1, :]
+            span_flag = jnp.floor(pwf * (1.0 / PACK_BASE))
+            w = pwf - PACK_BASE * span_flag
             # --- rect mapping (tall rects + sentinels/terminator) ---
-            w = rows[T_RECT_W : T_RECT_W + 1, :]
             # local // w and local % w in f32: (local + 0.5) / w never lands
             # on an integer for local < 2^22, w < 2^10, so floor is safe.
             ty_off_rect = jnp.floor((local + 0.5) / w)
-            tx_rect = rows[T_RECT_X : T_RECT_X + 1, :] + (
-                local - ty_off_rect * w
-            )
+            tx_rect = rect_x + (local - ty_off_rect * w)
             # --- span mapping: r = #(cum_j <= local) skips culled cells
             # and empty rows by construction; tx = x0_r + (local - cum_{r-1})
-            cum = rows[T_CUM : T_CUM + N_SPAN, :]  # (16, CHUNK)
-            x0 = rows[T_X0 : T_X0 + N_SPAN, :]
+            sp = rows[T_SP : T_SP + N_SPAN, :]  # (16, CHUNK) packed
+            cum = jnp.floor(sp * (1.0 / PACK_BASE))
+            x0 = sp - PACK_BASE * cum
             le = (cum <= local).astype(jnp.float32)
             r = jnp.sum(le, axis=0, keepdims=True)  # (1, CHUNK) in [0, 16]
             # Mosaic only supports integer iota; cast (exact for 0..15).
@@ -246,10 +242,10 @@ def _expand_kernel_impl(
                            keepdims=True)
             x0_sel = jnp.sum(jnp.where(j == r, x0, 0.0), axis=0,
                              keepdims=True)
-            is_span = rows[T_SPAN : T_SPAN + 1, :] > 0.5
+            is_span = span_flag > 0.5
             ty_off = jnp.where(is_span, r, ty_off_rect)
             tx = jnp.where(is_span, x0_sel + (local - base), tx_rect)
-            ty = rows[T_RECT_Y : T_RECT_Y + 1, :] + ty_off
+            ty = rect_y + ty_off
 
             depth = rows[T_DEPTH : T_DEPTH + 1, :]
             valid = depth < BIG

@@ -108,19 +108,23 @@ def build_instances(
     total_sent = incl[-1] if counts.size else jnp.int32(0)
     overflow = total_sent > capacity
 
-    # ---- Gaussian table (48, P_pad), field-major: 16 base fields + the
-    # exact-cull span tables (preprocess.compute_tile_spans) ----
+    # ---- Gaussian table (32, P_pad), field-major: packed integer rows +
+    # f32 blend fields + packed exact-cull span tables (round 5 layout;
+    # see ops/expand.py) ----
     depth_key = jnp.where(touched & proj.valid, proj.depths, ex.BIG)
     rect_w = jnp.maximum(proj.rect_max[:, 0] - proj.rect_min[:, 0], 1)
+    pb = ex.PACK_BASE
     table_rows = [None] * ex.TBL_ROWS
     table_rows[ex.T_OFFSET] = offsets
-    table_rows[ex.T_RECT_X] = proj.rect_min[:, 0].astype(jnp.float32)
-    table_rows[ex.T_RECT_Y] = proj.rect_min[:, 1].astype(jnp.float32)
-    table_rows[ex.T_RECT_W] = rect_w.astype(jnp.float32)
+    table_rows[ex.T_PACKXY] = (
+        proj.rect_min[:, 0] + proj.rect_min[:, 1] * int(pb)
+    ).astype(jnp.float32)
+    table_rows[ex.T_PACKWF] = (
+        rect_w + proj.span_flag.astype(jnp.int32) * int(pb)
+    ).astype(jnp.float32)
     table_rows[ex.T_DEPTH] = depth_key
     table_rows[ex.T_MX] = diff_fields[0]
     table_rows[ex.T_MY] = diff_fields[1]
-    table_rows[ex.T_SPAN] = proj.span_flag.astype(jnp.float32)
     table_rows[ex.T_CA] = diff_fields[2]
     table_rows[ex.T_CB] = diff_fields[3]
     table_rows[ex.T_CC] = diff_fields[4]
@@ -130,23 +134,24 @@ def build_instances(
     table_rows[ex.T_B] = diff_fields[8]
     # Inverse depth is not carried: it is recomputed from the sorted depth
     # key (bitwise-identical 1/depth; diff_fields[9] == 1/safe_depth with
-    # safe_depth == depth for every instance that reaches the blend).  Row
-    # 15 is zero padding — Mosaic only DMAs 8-row-aligned HBM windows.
-    table_rows[ex.NUM_TCOLS - 1] = jnp.zeros_like(diff_fields[0])
+    # safe_depth == depth for every instance that reaches the blend).
+    # Rows 13-15 are zero padding — Mosaic only DMAs 8-row-aligned windows.
+    zero_row = jnp.zeros_like(diff_fields[0])
+    for r in range(13, ex.T_SP):
+        table_rows[r] = zero_row
     for r in range(ex.N_SPAN):
-        table_rows[ex.T_X0 + r] = proj.span_x0[:, r]
-        table_rows[ex.T_CUM + r] = proj.span_cum[:, r]
-    table = jnp.stack(table_rows, axis=0)  # (48, P)
+        table_rows[ex.T_SP + r] = proj.span_x0[:, r] + pb * proj.span_cum[:, r]
+    table = jnp.stack(table_rows, axis=0)  # (32, P)
 
     # terminator column (owns every slot >= total) + BIG-offset pad columns
     P_pad = -(-(P + 1) // CHUNK) * CHUNK + WINDOW
     term = jnp.zeros((ex.TBL_ROWS, 1), jnp.float32)
     term = term.at[ex.T_OFFSET, 0].set(total_sent.astype(jnp.float32))
     term = term.at[ex.T_DEPTH, 0].set(ex.BIG)
-    term = term.at[ex.T_RECT_W, 0].set(1.0)
+    term = term.at[ex.T_PACKWF, 0].set(1.0)
     pad = jnp.zeros((ex.TBL_ROWS, P_pad - P - 1), jnp.float32)
     pad = pad.at[ex.T_OFFSET, :].set(ex.BIG)
-    pad = pad.at[ex.T_RECT_W, :].set(1.0)
+    pad = pad.at[ex.T_PACKWF, :].set(1.0)
     table_T = jnp.concatenate([table, term, pad], axis=1)
 
     # ---- per-chunk window bases: histogram of offsets by chunk ----
@@ -231,7 +236,7 @@ def build_instances(
     # so the pad rows cost ~nothing — tools/micro_rowslice_probe.py).
     # cap_int >= capacity + WINDOW, so the last window DMA past a tile end
     # stays in bounds (kernels also clamp ends to cap_int - chunk).
-    zeros_rows = jnp.zeros((ex.NUM_TCOLS - 10, cap_int), jnp.float32)
+    zeros_rows = jnp.zeros((16 - 10, cap_int), jnp.float32)
     meta_sorted = jnp.concatenate(
         [jnp.stack(sorted_fields + (sorted_invd,), axis=0), zeros_rows], axis=0
     )

@@ -139,6 +139,11 @@ def compute_tile_spans(
 
     span_x0 = jnp.stack(x0_rows, axis=1)
     span_cum = jnp.stack(cum_rows, axis=1)
+    # The expand kernel reads spans as packed rows x0 + 4096*cum
+    # (ops/expand.PACK_BASE); exactness needs both < 4096.  Footprints that
+    # would exceed it (grids wider than ~4k tiles, or >4095 span cells) fall
+    # back to exact full-rect expansion.
+    is_span = is_span & (cum < 4096.0) & (rx_max.astype(jnp.float32) <= 4096.0)
     rect_tiles = jnp.maximum(rect_w, 0) * jnp.maximum(rect_h, 0)
     tiles = jnp.where(is_span, cum.astype(jnp.int32), rect_tiles)
     span_x0 = jnp.where(is_span[:, None], span_x0, 0.0)

@@ -153,7 +153,12 @@ def _make_render_core(grid_x, grid_y, tile_w, tile_h, chunk, capacity, interpret
         packed5 = tuple(
             jax.lax.complex(rows[2 * i], rows[2 * i + 1]) for i in range(5)
         )
-        sorted_out = jax.lax.sort((sorted_src,) + packed5, num_keys=1)
+        # keys are a PERMUTATION (every slot index appears exactly once), so
+        # an unstable sort is bit-identical to a stable one — and XLA skips
+        # the internal iota tiebreak operand stable sorts carry.
+        sorted_out = jax.lax.sort(
+            (sorted_src,) + packed5, num_keys=1, is_stable=False
+        )
         flat = []
         for c in sorted_out[1:]:
             flat.append(jnp.real(c))
