@@ -154,17 +154,18 @@ def build_instances(
     pad = pad.at[ex.T_PACKWF, :].set(1.0)
     table_T = jnp.concatenate([table, term, pad], axis=1)
 
-    # ---- per-chunk window bases: histogram of offsets by chunk ----
+    # ---- per-chunk window bases ----
+    # n_before[j] = #offsets < j*CHUNK.  ``offsets`` is a cumsum, hence
+    # sorted, so this is a searchsorted — a scatter-add histogram here
+    # measured ~4.4 ms/iter at bench scale (round 5), the binary search is
+    # sub-ms.
     nchunks = cap_int // CHUNK
     offs_ext = jnp.concatenate(
         [offsets, total_sent.astype(jnp.float32)[None]]
     ).astype(jnp.int32)
-    hist = (
-        jnp.zeros((nchunks,), jnp.int32)
-        .at[offs_ext // CHUNK]
-        .add(1, mode="drop")
-    )
-    n_before = jnp.cumsum(hist) - hist  # exclusive
+    n_before = jnp.searchsorted(
+        offs_ext, jnp.arange(nchunks, dtype=jnp.int32) * CHUNK, side="left"
+    ).astype(jnp.int32)
     u = jnp.maximum(n_before - 1, 0)
     chunk_bases = (u // CHUNK) * CHUNK
 

@@ -62,7 +62,9 @@ MAX_SPAN_ROWS = 16
 
 def compute_tile_spans(
     mean2d: jnp.ndarray,  # (P, 2) pixel coords
-    r_cut: jnp.ndarray,  # (P,) cut radius (pixels)
+    conic: jnp.ndarray,  # (P, 3) inverse 2D covariance [a, b, c]
+    tau: jnp.ndarray,  # (P,) eligibility level 2*ln(255*op) (>= 0)
+    r_cut: jnp.ndarray,  # (P,) circle cut radius (pixels), <= 3-sigma
     rx_min: jnp.ndarray,  # (P,) int32 tile coords
     ry_min: jnp.ndarray,
     rx_max: jnp.ndarray,  # exclusive
@@ -71,45 +73,72 @@ def compute_tile_spans(
     tile_w: int,
     tile_h: int,
 ):
-    """Exact circle-vs-tile intersection spans, one per bounding-rect row.
+    """Exact ELLIPSE-vs-tile intersection spans, one per bounding-rect row.
+
+    The true eligibility set of the blend (alpha >= 1/255, forward.cu:475)
+    is the conic ellipse {d : a dx^2 + 2b dx dy + c dy^2 <= tau} — for
+    anisotropic Gaussians its area is sqrt(lam2/lam1) of the bounding
+    circle's, so span-culling against the ellipse (round 5; the circle was
+    rounds 3-4) shrinks every per-instance pipeline stage again while
+    leaving the rendered image identical: culled tiles contain no pixel
+    the blend's own eligibility test would accept.
+
+    Per tile row the ellipse's x-extent over the row's pixel-center band
+    dy in [l, u] is computed EXACTLY from unimodality: x_max(dy) =
+    (-b dy + sqrt(a tau - detc dy^2))/a is concave in dy, so its max over
+    a band is its value at the clamped unconstrained argmax
+    dy* = -b sqrt(tau/(c detc)); symmetrically x_min is convex.  The
+    interval is then intersected with the per-row CIRCLE bound from r_cut
+    (so the set never grows past rounds 3-4's, whose +-0.3-pixel dilation
+    and 3-sigma rect clamp it inherits) and padded by a conservative
+    SLACK that dominates every f32 rounding in the chain — over-inclusion
+    only adds instances the blend skips, under-inclusion would drop
+    contributions, so all rounding is pushed one way.
 
     Within one tile row the intersecting tiles form a contiguous x-span
-    (the circle is convex), so the exact per-Gaussian instance count is a
-    sum of <= MAX_SPAN_ROWS span widths — computed here once so the expand
+    (the ellipse is convex), so the exact per-Gaussian instance count is a
+    sum of <= MAX_SPAN_ROWS span widths — computed ONCE here so the expand
     kernel maps slot -> (row, tile) with cumulative-count compares and no
-    per-cell test (and, crucially, no sqrt whose rounding could disagree
-    between XLA and Mosaic).
-
-    The span boundaries from the sqrt are verified against the exact
-    per-cell test (closest pixel center vs cut radius, the same predicate
-    the per-cell cull used) at +-1 tile, so the culled SET is identical to
-    cell-by-cell evaluation: never drops a tile whose nearest pixel is
-    within ``r_cut`` (all pixels beyond it sit below the blend's 1/255
-    eligibility floor by construction — see the cut-radius derivation in
-    ``preprocess``).  Reference semantics anchor: getRect + the per-tile
-    loop of duplicateWithKeys (auxiliary.h:49-59, rasterizer_impl.cu:78-126)
-    — the reference expands the full rect; the exact cull is an
-    output-preserving TPU optimization that shrinks every per-instance
-    pipeline stage.
+    per-cell test (no sqrt whose rounding could disagree between XLA and
+    Mosaic).  Reference semantics anchor: getRect + the per-tile loop of
+    duplicateWithKeys (auxiliary.h:49-59, rasterizer_impl.cu:78-126) — the
+    reference expands the full rect; the exact cull is an
+    output-preserving TPU optimization.
 
     Returns (span_x0 (P, 16) f32, span_cum (P, 16) f32, tiles (P,) int32,
-    is_span (P,) bool).  For ``is_span == False`` rows (tall rects) the
-    span table is zero and ``tiles`` is the full rect count.
+    is_span (P,) bool).  For ``is_span == False`` rows (tall rects, or
+    degenerate non-PD conics) the span table is zero and ``tiles`` is the
+    full rect count.
     """
-    cx = jax.lax.stop_gradient(mean2d[:, 0])
-    cy = jax.lax.stop_gradient(mean2d[:, 1])
-    r_cut = jax.lax.stop_gradient(r_cut)
+    sg = jax.lax.stop_gradient
+    cx = sg(mean2d[:, 0])
+    cy = sg(mean2d[:, 1])
+    a = sg(conic[:, 0])
+    b = sg(conic[:, 1])
+    c = sg(conic[:, 2])
+    tau = sg(tau)
+    r_cut = sg(r_cut)
     rect_w = rx_max - rx_min
     rect_h = ry_max - ry_min
-    is_span = (rect_h <= MAX_SPAN_ROWS) & (rect_h > 0) & (rect_w > 0)
-
-    def cell_pass(tx, dy2):
-        # EXACT per-cell predicate (must match ops/binning.py round 1):
-        # closest pixel center of tile tx to the Gaussian center.
-        txf = tx.astype(jnp.float32)
-        qx = jnp.clip(cx, txf * tile_w, txf * tile_w + (tile_w - 1))
-        d2 = (qx - cx) ** 2 + dy2
-        return d2 <= r_cut * r_cut
+    detc = a * c - b * b
+    is_pd = (detc > 0.0) & (a > 0.0) & (c > 0.0)
+    is_span = (
+        (rect_h <= MAX_SPAN_ROWS) & (rect_h > 0) & (rect_w > 0) & is_pd
+    )
+    # Conservative slacks: taus absorbs the blend's POWER_EPS eligibility
+    # margin plus matmul rounding of the power (ops/blend_pallas), SLACK_PX
+    # absorbs the f32 rounding of the interval arithmetic below (relative
+    # ~1e-6 on |coords| <= ~4k pixels, so 0.05 px is >> any rounding).
+    taus = tau + 1e-3
+    SLACK_PX = 0.05
+    safe_a = jnp.maximum(a, 1e-30)
+    safe_detc = jnp.maximum(detc, 1e-30)
+    inv_a = 1.0 / safe_a
+    dy_lim = jnp.sqrt(jnp.maximum(taus * a, 0.0) / safe_detc)
+    s_shared = jnp.sqrt(
+        jnp.maximum(taus, 0.0) / jnp.maximum(c * detc, 1e-30)
+    )
+    dy_star = -b * s_shared  # argmax of x_max(dy); argmin of x_min is -dy_star
 
     x0_rows = []
     cum_rows = []
@@ -117,21 +146,32 @@ def compute_tile_spans(
     for r in range(MAX_SPAN_ROWS):
         ty = ry_min + r
         tyf = ty.astype(jnp.float32)
-        qy = jnp.clip(cy, tyf * tile_h, tyf * tile_h + (tile_h - 1))
-        dy2 = (qy - cy) ** 2
-        rem = r_cut * r_cut - dy2
-        dxmax = jnp.sqrt(jnp.maximum(rem, 0.0))
-        # candidate bounds from the sqrt, then verify +-1 with the exact
-        # per-cell test (sqrt rounding can be off by an ulp either way)
-        lo = jnp.ceil((cx - dxmax - (tile_w - 1)) / tile_w).astype(jnp.int32)
-        hi = jnp.floor((cx + dxmax) / tile_w).astype(jnp.int32)
-        lo = jnp.where(cell_pass(lo - 1, dy2), lo - 1,
-                       jnp.where(cell_pass(lo, dy2), lo, lo + 1))
-        hi = jnp.where(cell_pass(hi + 1, dy2), hi + 1,
-                       jnp.where(cell_pass(hi, dy2), hi, hi - 1))
+        # pixel-center band of this tile row, relative to the mean
+        l = tyf * tile_h - cy
+        u = l + (tile_h - 1)
+        lo_d = jnp.maximum(l, -dy_lim)
+        hi_d = jnp.minimum(u, dy_lim)
+
+        dyc = jnp.clip(dy_star, lo_d, hi_d)
+        D = jnp.maximum(taus * a - detc * dyc * dyc, 0.0)
+        xmax_e = (-b * dyc + jnp.sqrt(D)) * inv_a
+        dyc2 = jnp.clip(-dy_star, lo_d, hi_d)
+        D2 = jnp.maximum(taus * a - detc * dyc2 * dyc2, 0.0)
+        xmin_e = (-b * dyc2 - jnp.sqrt(D2)) * inv_a
+
+        # intersect with the row's circle bound (nearest point of the band
+        # to the mean), keeping the set inside rounds 3-4's circle cull
+        dyn = jnp.clip(0.0, l, u)
+        rem = r_cut * r_cut - dyn * dyn
+        xc = jnp.sqrt(jnp.maximum(rem, 0.0)) + SLACK_PX
+        xmax = jnp.minimum(xmax_e + SLACK_PX, xc)
+        xmin = jnp.maximum(xmin_e - SLACK_PX, -xc)
+
+        lo = jnp.ceil((cx + xmin - (tile_w - 1)) / tile_w).astype(jnp.int32)
+        hi = jnp.floor((cx + xmax) / tile_w).astype(jnp.int32)
         lo = jnp.maximum(lo, rx_min)
         hi = jnp.minimum(hi, rx_max - 1)
-        row_ok = (r < rect_h) & (rem >= 0.0)
+        row_ok = (r < rect_h) & (lo_d <= hi_d) & (rem >= 0.0) & (xmin <= xmax)
         span = jnp.where(row_ok, jnp.maximum(hi - lo + 1, 0), 0)
         x0_rows.append(jnp.where(span > 0, lo, 0).astype(jnp.float32))
         cum = cum + span.astype(jnp.float32)
@@ -288,22 +328,44 @@ def preprocess(
     op_for_cut = opacities * aa_scale
     log_term = 2.0 * jnp.log(jnp.maximum(255.0 * op_for_cut, 1.0))
     r_cut = jnp.minimum(jnp.sqrt(lam1 * log_term), radius_f)
-    rect_radius = jnp.ceil(r_cut)
+    # Per-axis ELLIPSE extents (round 5): the eligibility ellipse
+    # {d^T Conic d <= tau} has x-extent sqrt(tau * Cov_xx) and y-extent
+    # sqrt(tau * Cov_yy) (the marginal variances of the DILATED covariance),
+    # each <= the circle's sqrt(tau * lam1) — so the bounding rect shrinks
+    # per-axis for anisotropic Gaussians.  Clamped by r_cut (which carries
+    # the reference's 3-sigma rect bound).  Non-PD degenerates (det <= 0,
+    # impossible for real EWA + dilation but guarded) keep the circle rect.
+    # taus/+0.1 mirror compute_tile_spans' slacks so the rect always covers
+    # the slack-padded span intervals (rect clamping must never trim a tile
+    # the span test accepts).
+    taus = log_term + 1e-3
+    ell_x = jnp.sqrt(jnp.maximum(taus * cxx, 0.0)) + 0.1
+    ell_y = jnp.sqrt(jnp.maximum(taus * cyy, 0.0)) + 0.1
+    is_pd = det > 0.0
+    rect_rx = jnp.ceil(jnp.where(is_pd, jnp.minimum(ell_x, r_cut), r_cut))
+    rect_ry = jnp.ceil(jnp.where(is_pd, jnp.minimum(ell_y, r_cut), r_cut))
 
-    # --- tile rect (auxiliary.h:49-59); truncation-toward-zero == reference ---
-    rx_min = jnp.clip(((mean2d[:, 0] - rect_radius) / tile_w).astype(jnp.int32), 0, grid_x)
-    ry_min = jnp.clip(((mean2d[:, 1] - rect_radius) / tile_h).astype(jnp.int32), 0, grid_y)
+    # --- tile rect (semantics anchor auxiliary.h:49-59).  The exclusive max
+    # is floor((c + R)/tile) + 1: the farthest possibly-eligible pixel sits
+    # at c + R, so its tile is always included.  (The reference's
+    # (c + R + tile - 1)/tile form needs R >= extent + 1 px to guarantee
+    # that — true for its 3-sigma integer radius, not for our tight
+    # ellipse extents.) ---
+    rx_min = jnp.clip(((mean2d[:, 0] - rect_rx) / tile_w).astype(jnp.int32), 0, grid_x)
+    ry_min = jnp.clip(((mean2d[:, 1] - rect_ry) / tile_h).astype(jnp.int32), 0, grid_y)
     rx_max = jnp.clip(
-        ((mean2d[:, 0] + rect_radius + tile_w - 1) / tile_w).astype(jnp.int32), 0, grid_x
+        jnp.floor((mean2d[:, 0] + rect_rx) / tile_w).astype(jnp.int32) + 1,
+        0, grid_x,
     )
     ry_max = jnp.clip(
-        ((mean2d[:, 1] + rect_radius + tile_h - 1) / tile_h).astype(jnp.int32), 0, grid_y
+        jnp.floor((mean2d[:, 1] + rect_ry) / tile_h).astype(jnp.int32) + 1,
+        0, grid_y,
     )
-    # EXACT instance counts: per rect row, the circle-intersecting tiles
-    # form a contiguous span; corner cells of the bounding rect (~12-25% of
-    # multi-tile footprints) never enter the instance pipeline at all.
+    # EXACT instance counts: per rect row, the ellipse-intersecting tiles
+    # form a contiguous span; cells of the bounding rect with no eligible
+    # pixel never enter the instance pipeline at all.
     span_x0, span_cum, tiles, span_flag = compute_tile_spans(
-        mean2d, r_cut, rx_min, ry_min, rx_max, ry_max,
+        mean2d, conic, log_term, r_cut, rx_min, ry_min, rx_max, ry_max,
         tile_w=tile_w, tile_h=tile_h,
     )
     tiles = jnp.where(op_for_cut * 255.0 > 1.0, tiles, 0)

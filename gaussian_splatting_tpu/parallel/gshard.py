@@ -162,9 +162,15 @@ def _stripe_from_records(flat, *, d, n, grid_x, grid_y_local, tile_w, tile_h,
     mean2d_local = jnp.stack([flat[:, 0], flat[:, 1] - y_shift], axis=1)
     # Exact-cull spans on the STRIPE-CLIPPED rect: the y shift is a tile
     # multiple (exact f32 subtraction for on-screen coords), so the span set
-    # is bitwise the stripe's slice of the single-device span set.
+    # is bitwise the stripe's slice of the single-device span set.  tau is
+    # recomputed from the received (post-aa) opacity with the exact formula
+    # preprocess used — same input bits, same elementwise ops, same result.
+    conic_rec = jax.lax.stop_gradient(flat[:, 2:5])
+    tau_rec = 2.0 * jnp.log(
+        jnp.maximum(255.0 * jax.lax.stop_gradient(flat[:, 5]), 1.0)
+    )
     span_x0, span_cum, tiles, span_flag = compute_tile_spans(
-        mean2d_local, flat[:, R_CUTR], rx0, ry0, rx1, ry1,
+        mean2d_local, conic_rec, tau_rec, flat[:, R_CUTR], rx0, ry0, rx1, ry1,
         tile_w=tile_w, tile_h=tile_h,
     )
     tiles = jnp.where(valid, tiles, 0)

@@ -138,3 +138,72 @@ def test_grads_finite_with_sentinels_and_culled_instances():
     gp = jax.grad(loss)(op, "pallas")
     assert int(jnp.isnan(gp).sum()) == 0
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gd), atol=3e-4)
+
+
+def test_ellipse_spans_cover_all_eligible_pixels():
+    """Exact-cull contract (round 5, ellipse spans): every tile containing a
+    pixel the blend's own eligibility test accepts (alpha >= 1/255, i.e.
+    Q(d) <= tau) AND inside the r_cut circle (the 3-sigma rect clamp the
+    pipeline has applied since round 3) must appear in the span set.
+    Brute force over all pixels."""
+    from gaussian_splatting_tpu.ops.preprocess import compute_tile_spans
+
+    w, h = 128, 96
+    tw = th = 16
+    gx, gy = w // tw, h // th
+    scene = random_scene(600, sh_degree=0, width=w, height=h, seed=11,
+                         spread=1.4, scale_range=(0.003, 0.25))
+    proj = preprocess(
+        scene.means3d, scene.scales, scene.quats, scene.opacities, scene.sh,
+        scene.cam, sh_degree=0, tile_w=tw, tile_h=th,
+    )
+    valid = np.asarray(proj.valid)
+    cx = np.asarray(proj.means2d[:, 0]).astype(np.float64)
+    cy = np.asarray(proj.means2d[:, 1]).astype(np.float64)
+    a = np.asarray(proj.conics[:, 0]).astype(np.float64)
+    b = np.asarray(proj.conics[:, 1]).astype(np.float64)
+    c = np.asarray(proj.conics[:, 2]).astype(np.float64)
+    op = np.asarray(proj.opacities).astype(np.float64)
+    tau = 2.0 * np.log(np.maximum(255.0 * op, 1.0))
+    span_x0 = np.asarray(proj.span_x0).astype(np.int64)
+    span_cum = np.asarray(proj.span_cum).astype(np.int64)
+    span_flag = np.asarray(proj.span_flag)
+    r_cut = np.asarray(proj.cut_radius).astype(np.float64)
+    ry0 = np.asarray(proj.rect_min[:, 1])
+    rx0 = np.asarray(proj.rect_min[:, 0])
+    rx1 = np.asarray(proj.rect_max[:, 0])
+    ry1 = np.asarray(proj.rect_max[:, 1])
+
+    px = np.arange(w, dtype=np.float64)
+    py = np.arange(h, dtype=np.float64)
+    PX, PY = np.meshgrid(px, py)  # (h, w)
+
+    checked = 0
+    for g in np.nonzero(valid & span_flag)[0][:200]:
+        dx = PX - cx[g]
+        dy = PY - cy[g]
+        Q = a[g] * dx * dx + 2.0 * b[g] * dx * dy + c[g] * dy * dy
+        rc = r_cut[g]
+        elig = (Q <= tau[g]) & (dx * dx + dy * dy <= rc * rc)
+        # tiles containing an eligible pixel
+        tile_has = np.zeros((gy, gx), bool)
+        ys, xs = np.nonzero(elig)
+        tile_has[ys // th, xs // tw] = True
+        # tiles in the span set
+        in_span = np.zeros((gy, gx), bool)
+        prev = 0
+        for r in range(16):
+            ty = ry0[g] + r
+            cnt = span_cum[g, r] - prev
+            prev = span_cum[g, r]
+            if cnt <= 0 or ty < 0 or ty >= gy:
+                continue
+            x0 = span_x0[g, r]
+            in_span[ty, x0 : x0 + cnt] = True
+        missing = tile_has & ~in_span
+        assert not missing.any(), (
+            f"gaussian {g}: eligible pixels outside the span set at tiles "
+            f"{np.argwhere(missing)[:4]}"
+        )
+        checked += 1
+    assert checked >= 50  # the scene must actually exercise the span path
